@@ -1,0 +1,139 @@
+"""Deterministic hashing kernels: MinHash, LSH banding, SimHash, rolling
+fingerprints, and the hashed-ngram embedding.
+
+These generalize the reference's exact-key embedding cache
+(``Services/EmbeddingService.cs:33-34``) to near-duplicate detection at
+scale (SURVEY.md K2/K3), and replace the opaque ada-002 embedder
+(``Services/EmbeddingService.cs:45-46``) with a deterministic local kernel:
+the reference treats embeddings purely as cosine-comparable vectors
+(``Services/SearchService.cs:88``), so any fixed deterministic embedding
+preserves every downstream operator's semantics.
+
+Everything is numpy-vectorized per document and seeded — no randomness at
+call time, no dependencies beyond numpy/hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE_61 = (1 << 61) - 1
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def stable_hash64(s: str | bytes) -> int:
+    """Deterministic 64-bit hash (blake2b), stable across processes and
+    Python versions — never use built-in ``hash`` (PYTHONHASHSEED)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
+
+
+def char_shingles(text: str, k: int = 5) -> list[int]:
+    """Distinct k-character shingle hashes of a (pre-normalized) string."""
+    if len(text) < k:
+        return [stable_hash64(text)] if text else []
+    seen = {text[i:i + k] for i in range(len(text) - k + 1)}
+    return [stable_hash64(sh) for sh in seen]
+
+
+class MinHasher:
+    """128-permutation MinHash using the multiply-shift family
+    ``h_i(x) = a_i * x + b_i (mod 2^64)`` with odd ``a_i`` — native uint64
+    wraparound arithmetic, fully vectorized (shingles × perms matrix per
+    document), parameters drawn from a seeded RNG so signatures are
+    reproducible everywhere."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        a = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+        self.a = (a << np.uint64(1)) | np.uint64(1)  # odd multipliers
+        self.b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+
+    def signature(self, shingle_hashes: list[int]) -> np.ndarray:
+        """Signature as ``uint64[num_perm]``; empty input -> all MAX."""
+        if not shingle_hashes:
+            return np.full(self.num_perm, _MAX_U64, dtype=np.uint64)
+        x = np.asarray(shingle_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            vals = x[:, None] * self.a[None, :] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def band_hashes(self, signature: np.ndarray, bands: int = 32) -> list[int]:
+        """LSH banding (K3): split the signature into ``bands`` rows-per-band
+        groups and hash each band to one 64-bit bucket key."""
+        rows = self.num_perm // bands
+        out = []
+        for b in range(bands):
+            seg = signature[b * rows:(b + 1) * rows]
+            out.append(stable_hash64(seg.tobytes()))
+        return out
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token multiset."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = stable_hash64(tok)
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, base: int = 31) -> int:
+    """Polynomial rolling hash mod 2^61-1 over code points — a cheap
+    whole-document fingerprint (training-data pipeline op)."""
+    h = 0
+    for ch in text:
+        h = (h * base + ord(ch)) % _MERSENNE_61
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashed-ngram embedding (ada-002 stand-in, SURVEY.md §7.3)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_embedding(text: str, dim: int = 256) -> np.ndarray:
+    """Signed feature-hashing of unigrams + word bigrams, L2-normalized
+    float32[dim].  Deterministic; similar texts get high cosine."""
+    vec = np.zeros(dim, dtype=np.float64)
+    toks = text.lower().split()
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    for f in feats:
+        h = stable_hash64(f)
+        bucket = h % dim
+        sign = 1.0 if (h >> 63) & 1 else -1.0
+        vec[bucket] += sign
+    norm = np.linalg.norm(vec)
+    if norm > 0:
+        vec /= norm
+    return vec.astype(np.float32)

