@@ -1,0 +1,189 @@
+"""End-to-end KG construction pipeline (north_rule):
+
+  pages ──> chunks (extract/chunk/embed)          [stage: chunks,  bucketed]
+        └─> triples (OpenIE)                      [stage: triples, bucketed]
+              └─> mentions ─> LSH pairs ─> links ─> components
+                    └─> nodes (canonical map)     [stage: nodes,   global]
+              └─> edges = triples ⨝ canonical map [stage: edges,   bucketed]
+
+Each bucketed stage writes ``partitionBy("bucket")`` with dynamic
+partition overwrite and commits per-bucket lineage (kg/lineage.py);
+re-running the same ``run_id`` skips committed buckets — kill the job
+between any two stages and the re-run completes with identical tables
+(tests/test_resumability.py).
+
+Skew (north_rule): Zipf head entities concentrate edges on few
+``subj_canonical_id``s.  The edges table is therefore written partitioned
+by a SALTED key — ``pmod(hash(subj_canonical_id) + hash(obj) % SALT, P)``
+spreads one hot subject over SALT partitions; readers aggregating by
+subject do a two-phase agg (partial per salted partition, final merge),
+which ``dedup_triples``-style queries get for free from Catalyst partial
+aggregation.  AQE skew-join splitting is on globally (session.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import build_chunks
+from . import lineage as ln
+from .blocking import candidate_pairs, mentions_from_triples
+from .cc import canonical_mapping, connected_components
+from .linking import all_link_edges
+from .triples import extract_triples_df
+
+
+class StageKill(RuntimeError):
+    """Raised by the fail-injection hook (resumability tests)."""
+
+
+def _write_bucketed(df: DataFrame, path: str) -> None:
+    """Partitioned write that stays readable for zero-row results: a
+    partitionBy write of an empty DataFrame produces no files at all
+    (schema lost), so degenerate corpora (e.g. all-boilerplate pages with
+    no triples) fall back to an unpartitioned empty write that preserves
+    the schema footer."""
+    if df.isEmpty():
+        df.write.mode("overwrite").parquet(path)
+    else:
+        df.write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def _not_done_pages(spark, pages, out_dir, run_id, stage, n_buckets):
+    done = ln.completed_buckets(spark, out_dir, run_id, stage)
+    with_bucket = pages.withColumn("bucket", ln.bucket_col("url", n_buckets))
+    return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
+
+
+def run(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    run_id: str = "run-1",
+    n_buckets: int = 32,
+    embedding_dim: int = 64,
+    chunk_size: int = 300,
+    overlap: int = 20,
+    use_text_column: bool = False,
+    fail_after_stage: str | None = None,
+    salt: int = 8,
+) -> dict:
+    """Execute (or resume) the full pipeline; returns stage metrics."""
+    pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+    aliases_path = os.path.join(corpus_dir, "aliases.parquet")
+    aliases = None
+    if os.path.exists(aliases_path):
+        aliases = spark.read.parquet(aliases_path)
+
+    metrics: dict = {"run_id": run_id}
+
+    # ---- stage 1: chunks (bucketed, resumable) -----------------------------
+    todo = _not_done_pages(spark, pages, out_dir, run_id, "chunks", n_buckets)
+    chunks_path = os.path.join(out_dir, "chunks")
+    if todo.limit(1).count() > 0:
+        chunks = build_chunks(
+            todo, chunk_size, overlap, embedding_dim,
+            use_text_column=use_text_column,
+        ).withColumn("bucket", ln.bucket_col("url", n_buckets))
+        _write_bucketed(chunks, chunks_path)
+        written = spark.read.parquet(chunks_path).join(
+            todo.select("bucket").distinct(), "bucket", "semi"
+        )
+        ln.commit_stage(spark, out_dir, run_id, "chunks", written)
+    metrics["chunks"] = spark.read.parquet(chunks_path).count()
+    if fail_after_stage == "chunks":
+        raise StageKill("injected failure after stage: chunks")
+
+    # ---- stage 2: triples (bucketed, resumable) -----------------------------
+    todo = _not_done_pages(spark, pages, out_dir, run_id, "triples", n_buckets)
+    triples_path = os.path.join(out_dir, "triples")
+    if todo.limit(1).count() > 0:
+        triples = extract_triples_df(todo, use_text_column).withColumn(
+            "bucket", ln.bucket_col("url", n_buckets)
+        )
+        _write_bucketed(triples, triples_path)
+        written = spark.read.parquet(triples_path).join(
+            todo.select("bucket").distinct(), "bucket", "semi"
+        )
+        ln.commit_stage(spark, out_dir, run_id, "triples", written)
+    triples = spark.read.parquet(triples_path)
+    metrics["triples"] = triples.count()
+    if fail_after_stage == "triples":
+        raise StageKill("injected failure after stage: triples")
+
+    # ---- stage 3: linking + canonicalization (global) -----------------------
+    nodes_path = os.path.join(out_dir, "nodes")
+    if not ln.stage_marker_done(spark, out_dir, run_id, "nodes"):
+        mentions = mentions_from_triples(triples).cache()
+        pairs = candidate_pairs(mentions)
+        link_edges = all_link_edges(mentions, aliases, pairs,
+                                    embedding_dim=embedding_dim)
+        components = connected_components(
+            mentions.select("mention_id"), link_edges
+        )
+        nodes = canonical_mapping(mentions, components).withColumn(
+            "bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(n_buckets)).cast("int")
+        )
+        _write_bucketed(nodes, nodes_path)
+        ln.commit_global_stage(
+            spark, out_dir, run_id, "nodes",
+            spark.read.parquet(nodes_path).count(),
+        )
+        mentions.unpersist()
+    nodes = spark.read.parquet(nodes_path)
+    metrics["nodes"] = nodes.count()
+    metrics["components"] = nodes.select("canonical_id").distinct().count()
+    if fail_after_stage == "nodes":
+        raise StageKill("injected failure after stage: nodes")
+
+    # ---- stage 4: edges = triples resolved to canonical ids (bucketed) ------
+    edges_path = os.path.join(out_dir, "edges")
+    if not ln.stage_marker_done(spark, out_dir, run_id, "edges"):
+        canon = nodes.select(
+            F.col("surface"),
+            F.col("canonical_id"),
+            F.col("canonical_surface"),
+        )
+        # the canonical map is |distinct surfaces| — broadcastable here; at
+        # 10^12 docs it is still dictionary-sized (Zipf), but if it ever
+        # exceeds the broadcast cap Catalyst falls back to SMJ on `surface`.
+        b_canon = F.broadcast(canon)
+        edges = (
+            triples
+            .join(
+                b_canon.withColumnRenamed("canonical_id", "subj_id")
+                .withColumnRenamed("canonical_surface", "subj_canonical"),
+                triples.subj == F.col("surface"),
+            )
+            .drop("surface")
+            .join(
+                b_canon.withColumnRenamed("canonical_id", "obj_id")
+                .withColumnRenamed("canonical_surface", "obj_canonical"),
+                triples.obj == F.col("surface"),
+            )
+            .drop("surface")
+            .select(
+                "subj_id", "subj_canonical", "pred", "obj_id", "obj_canonical",
+                "url", "warc_ts", "conf",
+            )
+            # SALTED partitioning key: hot head subjects spread over `salt`
+            # sub-partitions (explicit skew mitigation, north_rule).
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.pmod(F.xxhash64("subj_id"), F.lit(n_buckets)) * F.lit(salt)
+                    + F.pmod(F.xxhash64("obj_id"), F.lit(salt)),
+                    F.lit(n_buckets),
+                ).cast("int"),
+            )
+        )
+        _write_bucketed(edges, edges_path)
+        ln.commit_global_stage(
+            spark, out_dir, run_id, "edges",
+            spark.read.parquet(edges_path).count(),
+        )
+    metrics["edges"] = spark.read.parquet(edges_path).count()
+    return metrics

@@ -1,0 +1,221 @@
+"""KG pipeline tests: connected components vs union-find oracle, LSH
+blocking recall, end-to-end P/R gate, canonicalization purity, and
+kill/resume identity (north_rule resumability)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from driftmind_spark.kernels.vocab import ALIASES
+from driftmind_spark.kg.blocking import candidate_pairs, mentions_from_triples
+from driftmind_spark.kg.cc import canonical_mapping, connected_components
+from driftmind_spark.kg.pipeline import StageKill, run
+from driftmind_spark.kg.triples import dedup_triples, extract_triples_df
+
+
+# ---- connected components vs union-find oracle --------------------------------
+
+def _union_find_oracle(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully canonicalize: label = min member id of the component
+    return {i: find(i) for i in range(n)}
+
+
+@pytest.mark.parametrize(
+    "n,edge_list",
+    [
+        (6, [(0, 1), (1, 2), (3, 4)]),
+        (8, [(0, 7), (7, 3), (3, 5), (1, 2), (2, 6)]),
+        (5, []),
+        (10, [(i, i + 1) for i in range(9)]),  # long chain (worst diameter)
+        (7, [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6), (4, 6)]),
+    ],
+)
+def test_connected_components_matches_union_find(spark, n, edge_list):
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "mention_id long")
+    edges = spark.createDataFrame(
+        edge_list or [(-1, -1)], "src long, dst long"
+    )
+    if not edge_list:
+        edges = edges.filter(F.col("src") >= 0)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, edges, max_iter=30).collect()
+    }
+    assert got == _union_find_oracle(n, edge_list)
+
+
+# ---- blocking + canonicalization over planted clusters ------------------------
+
+@pytest.fixture(scope="module")
+def triples_df(spark, pages_dir):
+    pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
+    return extract_triples_df(pages).cache()
+
+
+def test_mentions_distinct_surfaces(spark, triples_df):
+    mentions = mentions_from_triples(triples_df)
+    pdm = mentions.toPandas()
+    assert pdm["surface"].is_unique
+    assert (pdm["n_mentions"] >= 1).all()
+    # every surface used in sentences is a known alias
+    assert set(pdm["surface"]).issubset(set(ALIASES))
+
+
+def test_lsh_candidate_recall_on_planted_variants(spark, triples_df):
+    """Near-duplicate surface pairs (jaccard >= 0.4 on 3-shingles) of the
+    same planted entity must appear among LSH candidates."""
+    from driftmind_spark.kernels import hashing as hk
+
+    mentions = mentions_from_triples(triples_df).cache()
+    surfaces = [r["surface"] for r in mentions.select("surface").collect()]
+    pairs = {
+        tuple(sorted((a, b)))
+        for a in surfaces
+        for b in surfaces
+        if a < b and ALIASES[a] == ALIASES[b]
+        and hk.jaccard(
+            set(hk.char_shingles(a.lower(), 3)), set(hk.char_shingles(b.lower(), 3))
+        ) >= 0.4
+    }
+    got = {
+        tuple(sorted((r["surface_a"], r["surface_b"])))
+        for r in candidate_pairs(mentions).collect()
+    }
+    missed = pairs - got
+    assert len(pairs) > 5
+    assert len(missed) / len(pairs) <= 0.1, f"missed {missed}"
+
+
+def test_dedup_triples_counts(spark, triples_df):
+    dd = dedup_triples(triples_df)
+    assert dd.count() <= triples_df.count()
+    assert dd.agg(F.sum("support")).first()[0] == triples_df.count()
+
+
+# ---- end-to-end pipeline + gates ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, pages_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    metrics = run(spark, pages_dir, out, embedding_dim=32, n_buckets=8)
+    return out, metrics
+
+
+def test_pipeline_metrics(pipeline_out):
+    _, m = pipeline_out
+    assert m["chunks"] > 0 and m["triples"] > 0
+    assert m["edges"] == m["triples"]  # every triple resolves (closed vocab)
+    assert m["components"] <= m["nodes"]
+
+
+def test_pipeline_pr_gate_spark(spark, pages_dir, pipeline_out):
+    """North-rule gate: Spark-emitted triples vs planted truth, P/R >= 0.95."""
+    out, _ = pipeline_out
+    got = spark.read.parquet(f"{out}/triples").select("url", "subj", "pred", "obj")
+    exp = spark.read.parquet(f"{pages_dir}/expected_triples.parquet").select(
+        "url", "subj", "pred", "obj"
+    )
+    tp = got.intersect(exp).count()
+    precision = tp / got.distinct().count()
+    recall = tp / exp.distinct().count()
+    assert precision >= 0.95 and recall >= 0.95
+
+
+def test_canonicalization_purity(spark, pipeline_out):
+    """No planted entity split across clusters; no cluster mixing planted
+    entities (homogeneity + completeness = 1 on the closed vocabulary)."""
+    out, _ = pipeline_out
+    pdn = spark.read.parquet(f"{out}/nodes").toPandas()
+    pdn["truth"] = pdn["surface"].map(lambda s: ALIASES.get(s, s))
+    assert (pdn.groupby("truth")["canonical_id"].nunique() == 1).all()
+    assert (pdn.groupby("canonical_id")["truth"].nunique() == 1).all()
+
+
+def test_edges_resolved_to_canonicals(spark, pipeline_out):
+    out, _ = pipeline_out
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.filter(F.col("subj_id").isNull() | F.col("obj_id").isNull()).count() == 0
+    # canonical surfaces are canonical ids' elected surfaces, never null
+    assert edges.filter(F.col("subj_canonical").isNull()).count() == 0
+
+
+# ---- resumability (north_rule): kill mid-run, resume, identical output --------
+
+def _table_fingerprint(spark, path, cols):
+    df = spark.read.parquet(path).select(*cols)
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def test_kill_and_resume_identical(spark, pages_dir, tmp_path_factory):
+    out_killed = str(tmp_path_factory.mktemp("kg_resume"))
+    out_full = str(tmp_path_factory.mktemp("kg_full"))
+
+    with pytest.raises(StageKill):
+        run(spark, pages_dir, out_killed, embedding_dim=32, n_buckets=8,
+            fail_after_stage="triples")
+    # lineage shows chunks+triples committed, nodes/edges absent
+    lin = spark.read.parquet(f"{out_killed}/lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"chunks", "triples"}
+    assert not os.path.exists(f"{out_killed}/nodes")
+
+    # resume completes; independent full run for comparison
+    run(spark, pages_dir, out_killed, embedding_dim=32, n_buckets=8)
+    run(spark, pages_dir, out_full, embedding_dim=32, n_buckets=8)
+
+    for table, cols in [
+        ("triples", ["url", "subj", "pred", "obj"]),
+        ("nodes", ["surface", "canonical_surface"]),
+        ("edges", ["url", "subj_canonical", "pred", "obj_canonical"]),
+        ("chunks", ["url", "chunk_index", "content"]),
+    ]:
+        fp_resumed = _table_fingerprint(spark, f"{out_killed}/{table}", cols)
+        fp_full = _table_fingerprint(spark, f"{out_full}/{table}", cols)
+        assert fp_resumed == fp_full, f"{table} differs after resume"
+
+
+def test_degenerate_corpus_zero_triples(spark, tmp_path_factory):
+    """A corpus whose pages yield no triples (edge pages only) must still
+    complete: empty stage outputs keep a readable schema (regression for
+    the partitionBy-drops-empty-schema bug found in verification)."""
+    from driftmind_spark.synth import write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("tiny_corpus"))
+    write_corpus(corpus, n=8)
+    out = str(tmp_path_factory.mktemp("tiny_out"))
+    m = run(spark, corpus, out, embedding_dim=32, n_buckets=4)
+    assert m["triples"] == 0 and m["edges"] == 0 and m["nodes"] == 0
+    # and a resume over the empty tables also works
+    m2 = run(spark, corpus, out, embedding_dim=32, n_buckets=4)
+    assert m2["triples"] == 0
+
+
+def test_resume_skips_completed_buckets(spark, pages_dir, tmp_path_factory):
+    """Second run of the same run_id must not reprocess: lineage row count
+    per (stage, bucket) stays 1."""
+    out = str(tmp_path_factory.mktemp("kg_skip"))
+    run(spark, pages_dir, out, embedding_dim=32, n_buckets=8)
+    run(spark, pages_dir, out, embedding_dim=32, n_buckets=8)
+    lin = spark.read.parquet(f"{out}/lineage")
+    dupes = (
+        lin.filter(F.col("stage").isin("chunks", "triples"))
+        .groupBy("stage", "bucket").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
