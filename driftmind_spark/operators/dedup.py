@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, portable-MinHash-LSH, SimHash, embedding-cosine.
+
+Scale design: every variant is blocked — no unblocked O(n^2) pair
+generation anywhere.  Exact dedup is one hash aggregation; Jaccard and
+cosine near-dup run inside LSH/length blocks; SimHash pairs join on
+rotated prefix bands (Manku et al., WWW'07 style).
+
+The md5-based MinHash here is deliberately *portable SQL* (same
+arithmetic runs in the DuckDB oracle); the high-throughput numpy MinHash
+for the KG path lives in kernels/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import cosine_sim
+from ..functions.udfs import simhash_udf
+
+NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicates by normalized-text hash: one row per distinct
+    content with the keeper (min doc_id) and copy count."""
+    return (
+        docs.select("doc_id", F.md5(NORM(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(text_col: F.Column, k: int = 5) -> F.Column:
+    """Distinct k-char shingles as an array column (JVM-side)."""
+    n = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring(text_col, i, k)
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str = "source",
+) -> DataFrame:
+    """Word-n-gram Jaccard near-dup pairs within blocks.
+
+    Blocking on ``block_col`` keeps the pair space linear per block; at
+    web scale the block key is an LSH band or URL host.  Word n-grams are
+    built with sequence+transform (pure codegen)."""
+    toks = F.filter(F.split(NORM(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    base = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("block"), grams.alias("grams")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Portable MinHash-LSH candidate pairs: signature slot i =
+    ``min(md5(i || shingle))`` (lexicographic min over hex strings), bands
+    of ``num_perm // bands`` slots hashed with md5 — identical arithmetic
+    in Spark and the DuckDB oracle, JVM-side md5 (no Python).
+
+    Returns candidate (doc_a, doc_b) pairs sharing >= 1 band."""
+    rows_per_band = num_perm // bands
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(_shingles(NORM(F.col(text_col)), shingle_k)).alias("sh"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"s{i}")
+            for i in range(num_perm)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [f"s{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *cols)).alias(f"band{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    a, b_ = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame, text_col: str = "text", prefix_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash (vectorized UDF), blocked on
+    the high ``prefix_bits`` (one band of the Manku rotation scheme),
+    verified by exact Hamming distance via bit_count(xor)."""
+    sh = docs.select(
+        "doc_id", simhash_udf(F.col(text_col)).alias("simhash")
+    ).withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, "prefix")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.9, n_buckets: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by dominant-dimension sign
+    bucket (cheap LSH: argmax |component| index mod n_buckets); exact
+    cosine verification inside buckets."""
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    key = F.pmod(
+        F.array_position(
+            F.transform(vec_d, lambda x: F.abs(x)),
+            F.array_max(F.transform(vec_d, lambda x: F.abs(x))),
+        ).cast("int"),
+        F.lit(n_buckets),
+    )
+    base = embeddings.select(
+        F.col("vec_id"), vec_d.alias("vec"), key.alias("bucket_key")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine_sim(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, "bucket_key")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators for training-data pipelines over a documents
+table: language ID, quality scoring, token counting, fingerprinting.
+
+All JVM-side column expressions (whole-stage codegen) — no Python in the
+hot path; each has a 1:1 DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed marker lists shared verbatim with the SQL oracles.
+DE_MARKERS = ("der", "die", "und", "ist", "nicht", "das", "ein", "mit", "für", "auf")
+EN_MARKERS = ("the", "and", "is", "not", "a", "with", "for", "on", "of", "to")
+
+_WORD_SPLIT = r"\s+"
+
+
+def _marker_hits(tokens, markers) -> F.Column:
+    lit = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free stopword-marker language ID (en/de/unknown)."""
+    toks = F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
+    de = _marker_hits(toks, DE_MARKERS)
+    en = _marker_hits(toks, EN_MARKERS)
+    guess = (
+        F.when(de > en, F.lit("de"))
+        .when(en > de, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+    return docs.select(
+        "doc_id",
+        de.alias("de_hits"),
+        en.alias("en_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios — the standard
+    web-text quality features (C4/Gopher-style heuristics)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_lit = F.array(*[F.lit(m) for m in (DE_MARKERS + EN_MARKERS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
+        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("chars_per_token"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (word-piece regex:
+    alnum runs and single non-space symbols)."""
+    text = F.col(text_col)
+    ws_tokens = F.size(F.filter(F.split(text, _WORD_SPLIT), lambda t: t != ""))
+    # BPE-ish estimate: alphanumeric runs + individual non-space symbols
+    # (portable: no lookaround, identical formula in the SQL oracle)
+    alnum_runs = F.size(
+        F.filter(F.split(text, r"[^A-Za-z0-9]+"), lambda t: t != "")
+    )
+    n_symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    bpe_ish = alnum_runs + n_symbols
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"\s", ""))).alias("n_ws"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (the exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
