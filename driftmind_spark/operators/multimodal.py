@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/feature-extract kernels are STUBBED (no image/audio libraries
+in this container — see the clearly marked seams below), but everything
+Spark-side is real and tested: schemas, Arrow batch shapes, mapInPandas
+iteration, partition sizing.  Swapping the stub for Pillow/librosa is a
+one-function change that does not touch the plan.
+
+Design notes for 100 TB of media:
+- media bytes ride in their own column family (Parquet: separate column
+  chunk), so metadata-only queries never read the blobs (column pruning);
+- ``mapInPandas`` processes Arrow record batches — per-batch decode
+  amortizes Python call overhead; batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to keep decoded
+  frames in executor memory;
+- frame sampling / resizing emits a new binary column, never mutates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sha", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+_MAGIC = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"GIF8": "gif",
+    b"RIFF": "riff",
+    b"\x00\x00\x00": "mp4?",
+}
+
+
+def _sniff_format(data: bytes) -> str | None:
+    for magic, fmt in _MAGIC.items():
+        if data[: len(magic)] == magic:
+            return fmt
+    return None
+
+
+def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
+    """STUB: real decoders (Pillow/ffmpeg) are not in this container.
+    PNG headers are parsed for real (pure struct); everything else
+    raises, and the UDF maps that to NULL dimensions."""
+    if data[:4] == b"\x89PNG" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return int(w), int(h)
+    raise NotImplementedError(
+        "media decode requires an image library not present in this "
+        "container; plug Pillow/ffmpeg in here"
+    )
+
+
+def media_metadata(df: DataFrame, id_col: str = "media_id",
+                   blob_col: str = "blob") -> DataFrame:
+    """binary column -> typed metadata rows (mapInPandas, Arrow batches)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                try:
+                    w, h = _decode_dimensions(data)
+                except NotImplementedError:
+                    w, h = None, None
+                rows.append(
+                    {
+                        "media_id": str(mid),
+                        "n_bytes": len(data),
+                        "format": _sniff_format(data),
+                        "width": w,
+                        "height": h,
+                        "sha": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return df.mapInPandas(_extract, MEDIA_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
+                  max_frames: int = 4, id_col: str = "media_id",
+                  blob_col: str = "blob") -> DataFrame:
+    """Frame-sampling plumbing: deterministic FAKE decode (byte-range
+    slices stand in for decoded frames) so the Spark-side shape —
+    one input row -> K frame rows, binary payloads through Arrow — is
+    real and testable.  Replace ``_fake_frame`` with a video decoder."""
+
+    def _fake_frame(data: bytes, i: int) -> bytes:
+        start = i * every_n_bytes
+        return data[start:start + every_n_bytes]
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                n = min(max_frames, max(1, len(data) // every_n_bytes))
+                for i in range(n):
+                    rows.append(
+                        {"media_id": str(mid), "frame_index": i,
+                         "frame": _fake_frame(data, i)}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.mapInPandas(_expand, FRAME_SCHEMA)

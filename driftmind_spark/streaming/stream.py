@@ -1,0 +1,111 @@
+"""Structured Streaming variant of the ingestion pipeline (SURVEY.md §2.9).
+
+The reference has no streaming surface (synchronous HTTP,
+``Program.cs:104-445``); this module exists because every batch stage we
+built is stateless per-url, so the same DataFrame expressions lift to
+``readStream`` unchanged — the ``warc_ts`` column becomes the event-time
+watermark, and windowed per-host counts demonstrate stateful streaming
+aggregation with late-data handling.
+
+Run modes:
+- ``stream_chunks``: file-source stream over a pages directory ->
+  chunk rows, ``foreachBatch`` appending to the same chunks table layout
+  the batch pipeline writes (shared schema, shared lineage discipline).
+- ``stream_host_counts``: watermarked sliding-window aggregation
+  (1-hour windows on ``warc_ts``, 30-minute late-data allowance).
+
+Tests drive both with ``trigger(availableNow=True)`` so they terminate
+deterministically on a frozen corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+    ]
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def stream_chunks(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    chunk_size: int = 300,
+    overlap: int = 20,
+):
+    """pages stream -> chunk rows, appended via foreachBatch (the same
+    sink layout as the batch pipeline, so downstream consumers can't
+    tell which mode produced the table)."""
+    from ..operators.chunking import build_chunks
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = build_chunks(batch_df, chunk_size, overlap, with_embeddings=False)
+        chunks.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_host_counts(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+):
+    """Watermarked event-time windowed aggregation: pages per host per
+    window; late rows beyond the watermark are dropped (state bounded)."""
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    win = F.window("warc_ts", window, slide) if slide else F.window("warc_ts", window)
+    agg = (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(win.alias("win"), host.alias("host"))
+        .agg(F.count("*").alias("n_pages"), F.max("warc_ts").alias("max_ts"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_pages",
+            "max_ts",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
