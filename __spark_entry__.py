@@ -888,9 +888,13 @@ def oracle_sql() -> dict[str, str]:
                                 i::int, 5)))) as sh
                 from documents
             ),
+            shs as (
+                select doc_id, sh from sh
+                where substr(md5(sh), 32, 1) in ('0', '1', '2', '3')
+            ),
             sig as (
                 select doc_id, {minhash_sigs}
-                from sh group by doc_id
+                from shs group by doc_id
             ),
             banded as (
                 select doc_id, {minhash_bands}

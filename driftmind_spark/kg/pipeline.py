@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.chunking import build_chunks
+from ..operators.chunking import build_chunks, extract_text_table
 from . import lineage as ln
 from .blocking import candidate_pairs, mentions_from_triples
 from .cc import canonical_mapping, connected_components
@@ -80,13 +80,37 @@ def run(
 
     metrics: dict = {"run_id": run_id}
 
+    # ---- stage 0: extract once (bucketed, resumable) ------------------------
+    # The extracted-text table is the Spark analog of the reference's
+    # extracted-text twin blob (BlobStorageService.cs:174-234); chunking
+    # and triple extraction both consume it, so the html column — the
+    # bulk of the bytes at 100 TB — is read and boilerplate-stripped once.
+    extracted_path = os.path.join(out_dir, "extracted")
+    todo = _not_done_pages(spark, pages, out_dir, run_id, "extract", n_buckets)
+    if todo.limit(1).count() > 0:
+        extracted = (
+            (todo.select("url", "warc_ts", "lang", F.col("text"), "bucket")
+             if use_text_column else
+             extract_text_table(todo).withColumn(
+                 "bucket", ln.bucket_col("url", n_buckets)))
+        )
+        _write_bucketed(extracted, extracted_path)
+        written = spark.read.parquet(extracted_path).join(
+            todo.select("bucket").distinct(), "bucket", "semi"
+        )
+        ln.commit_stage(spark, out_dir, run_id, "extract", written)
+    extracted = spark.read.parquet(extracted_path)
+    metrics["extracted"] = extracted.count()
+    if fail_after_stage == "extract":
+        raise StageKill("injected failure after stage: extract")
+
     # ---- stage 1: chunks (bucketed, resumable) -----------------------------
-    todo = _not_done_pages(spark, pages, out_dir, run_id, "chunks", n_buckets)
+    todo = _not_done_pages(spark, extracted, out_dir, run_id, "chunks", n_buckets)
     chunks_path = os.path.join(out_dir, "chunks")
     if todo.limit(1).count() > 0:
         chunks = build_chunks(
             todo, chunk_size, overlap, embedding_dim,
-            use_text_column=use_text_column,
+            use_text_column=True,
         ).withColumn("bucket", ln.bucket_col("url", n_buckets))
         _write_bucketed(chunks, chunks_path)
         written = spark.read.parquet(chunks_path).join(
@@ -98,10 +122,10 @@ def run(
         raise StageKill("injected failure after stage: chunks")
 
     # ---- stage 2: triples (bucketed, resumable) -----------------------------
-    todo = _not_done_pages(spark, pages, out_dir, run_id, "triples", n_buckets)
+    todo = _not_done_pages(spark, extracted, out_dir, run_id, "triples", n_buckets)
     triples_path = os.path.join(out_dir, "triples")
     if todo.limit(1).count() > 0:
-        triples = extract_triples_df(todo, use_text_column).withColumn(
+        triples = extract_triples_df(todo, use_text_column=True).withColumn(
             "bucket", ln.bucket_col("url", n_buckets)
         )
         _write_bucketed(triples, triples_path)

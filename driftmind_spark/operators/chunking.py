@@ -1,4 +1,4 @@
-"""The ingestion pipeline: pages -> extract -> chunk -> dedupe-embed ->
+"""The ingestion pipeline: pages -> extract -> chunk -> embed ->
 chunks DataFrame.
 
 Spark rewrite of the reference's per-request upload path
@@ -6,14 +6,16 @@ Spark rewrite of the reference's per-request upload path
 one declarative DAG instead of 5-6 network round-trips per document.
 
 Scale notes (10^12 rows):
-- extraction + chunking are stateless per-url -> narrow, no shuffle;
-- ``posexplode`` assigns chunk indices at explode time (W4) — no window;
-- the embed stage dedupes on the normalized chunk text first
-  (``dropDuplicates``), which *is* the reference's embedding cache
-  (EmbeddingService.cs:37-58) in batch form: one shuffle keyed by
-  ``norm_text``, embeddings computed once per distinct text, then joined
-  back (Catalyst picks SMJ; at high duplication the distinct side is
-  small and AQE converts to broadcast).
+- every per-url stage is narrow (no shuffle); extract/chunk/normalize/
+  embed run in ONE fused Arrow crossing (mapInPandas) — chained pandas
+  UDFs were measured to re-serialize intermediates per stage;
+- chunk indices are assigned in-kernel at emit time (the posexplode/W4
+  discipline — never a window shuffle for numbering);
+- the reference's embedding cache (EmbeddingService.cs:37-58) maps to
+  per-batch caching by default and to a global
+  dropDuplicates(norm_text) -> embed -> join-back under
+  ``dedupe_embeddings=True`` (worth the shuffle only when the embedder
+  is expensive, e.g. an API or a large model).
 """
 
 from __future__ import annotations
@@ -21,12 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import (
-    extract_text_udf,
-    make_chunk_udf,
-    make_embed_udf,
-    normalize_for_caching_udf,
-)
+from ..functions.udfs import extract_text_udf, make_embed_udf
 
 MAX_PAGE_BYTES = 3 * 1024 * 1024  # appsettings.json:26 (3 MB upload cap)
 
@@ -34,7 +31,9 @@ MAX_PAGE_BYTES = 3 * 1024 * 1024  # appsettings.json:26 (3 MB upload cap)
 def validated_pages(pages: DataFrame, langs: tuple[str, ...] | None = None) -> DataFrame:
     """S1/S2: row-level filters replacing the reference's per-file
     validation (FileProcessingService.cs:28-37) — pushed to the scan."""
-    out = pages.filter(F.length("html") <= MAX_PAGE_BYTES)
+    out = pages
+    if "html" in pages.columns:
+        out = out.filter(F.length("html") <= MAX_PAGE_BYTES)
     if langs:
         out = out.filter(F.col("lang").isin(*langs))
     return out
@@ -52,6 +51,101 @@ def extract_pages(pages: DataFrame, use_text_column: bool = False) -> DataFrame:
     return pages.withColumn("extracted", extract_text_udf("html"))
 
 
+def extract_text_table(pages: DataFrame) -> DataFrame:
+    """Stage-0 extraction: pages -> (url, warc_ts, lang, text) with the
+    boilerplate-stripped main content as ``text``.
+
+    This is the Spark analog of the reference's extracted-text twin blob
+    (BlobStorageService.cs:174-234): extraction runs ONCE and both the
+    chunking and the triple stages consume the (much smaller) text table
+    instead of re-reading and re-stripping the raw html — at 100 TB the
+    html column is the bulk of the bytes, so sharing the extraction pass
+    halves the pipeline's scan traffic."""
+    return validated_pages(pages).mapInPandas(
+        _extract_only_kernel(),
+        f"url string, warc_ts {dict(pages.dtypes).get('warc_ts', 'timestamp_ntz')}, "
+        "lang string, text string",
+    )
+
+
+def _extract_only_kernel():
+    import pandas as pd
+
+    from ..kernels.extract import extract_main_text
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "text": pdf["html"].map(extract_main_text),
+                }
+            )
+
+    return kernel
+
+
+def _fused_chunk_rows(chunk_size: int, overlap: int, use_text_column: bool,
+                      embedding_dim: int | None):
+    """ONE Python crossing per page batch: extract -> chunk -> normalize
+    [-> embed] inside a single mapInPandas kernel.  Chained pandas UDFs
+    would round-trip each intermediate column through Arrow once per
+    stage; at 10^12 rows that ser/de dominates the stage, so the whole
+    stateless per-url part of the pipeline is fused.  Embedding is
+    per-batch cached on norm_text (the reference's embedding-cache
+    semantics, EmbeddingService.cs:33-58, applied at batch granularity —
+    duplicates within a batch are embedded once)."""
+    import pandas as pd
+
+    from ..kernels.extract import extract_main_text
+    from ..kernels.hashing import hashed_ngram_embedding
+    from ..kernels.textproc import chunk_text, normalize_for_caching
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {
+                "url": [], "warc_ts": [], "lang": [],
+                "chunk_index": [], "content": [], "norm_text": [],
+            }
+            if embedding_dim:
+                out["embedding"] = []
+                cache: dict[str, list] = {}
+            texts = pdf["text"] if use_text_column else pdf["html"].map(extract_main_text)
+            for url, ts, lang, text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], texts
+            ):
+                for i, ch in enumerate(chunk_text(text, chunk_size, overlap)):
+                    norm = normalize_for_caching(ch)
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["lang"].append(lang)
+                    out["chunk_index"].append(i)
+                    out["content"].append(ch)
+                    out["norm_text"].append(norm)
+                    if embedding_dim:
+                        vec = cache.get(norm)
+                        if vec is None:
+                            vec = hashed_ngram_embedding(norm, embedding_dim).tolist()
+                            cache[norm] = vec
+                        out["embedding"].append(vec)
+            pdf_out = pd.DataFrame(out)
+            if pdf_out.empty:
+                # empty python lists default to float64; Arrow cannot cast
+                # that to timestamp — pin the dtype explicitly
+                pdf_out["warc_ts"] = pdf_out["warc_ts"].astype("datetime64[us]")
+            yield pdf_out
+
+    return kernel
+
+
+_CHUNK_ROWS_SCHEMA = (
+    "url string, warc_ts timestamp_ntz, lang string, "
+    "chunk_index int, content string, norm_text string"
+)
+
+
 def build_chunks(
     pages: DataFrame,
     chunk_size: int = 300,
@@ -59,32 +153,36 @@ def build_chunks(
     embedding_dim: int = 256,
     with_embeddings: bool = True,
     use_text_column: bool = False,
+    dedupe_embeddings: bool = False,
 ) -> DataFrame:
-    """pages -> chunks(url, warc_ts, lang, chunk_index, content, chunk_id
-    [, norm_text, embedding]).
+    """pages -> chunks(url, warc_ts, lang, chunk_index, content,
+    norm_text, chunk_id [, embedding]).
 
     chunk_id is the reference's "{docId}_{index}" key
     (DocumentProcessingService.cs:394) — deterministic, so re-runs are
-    idempotent (F14 note in SURVEY.md: no GUIDs).
+    idempotent (F14 note in SURVEY.md: no GUIDs).  The empty-text guard
+    (P7) is implicit: chunk_text returns [] for whitespace-only pages.
+
+    ``dedupe_embeddings``: the reference's embedding cache as a GLOBAL
+    batch dedupe — dropDuplicates(norm_text) -> embed once -> join back.
+    Use it when the embedder is expensive (an API or a large model):
+    it trades one shuffle of the chunk text for embedding each distinct
+    text once.  With the cheap local hashed-ngram kernel the shuffle
+    costs more than re-embedding, so the default embeds inline in the
+    fused kernel (narrow plan, zero shuffles) with per-batch caching.
     """
-    chunk_udf = make_chunk_udf(chunk_size, overlap)
-    extracted = extract_pages(validated_pages(pages), use_text_column)
-    chunks = (
-        extracted
-        .filter(F.trim(F.col("extracted")) != "")  # P7 empty guard
-        .select(
-            "url",
-            "warc_ts",
-            "lang",
-            F.posexplode(chunk_udf("extracted")).alias("chunk_index", "content"),
-        )
-        .withColumn("chunk_id", F.concat_ws("_", "url", "chunk_index"))
-    )
-    if not with_embeddings:
+    ts_type = dict(pages.dtypes).get("warc_ts", "timestamp_ntz")
+    schema = _CHUNK_ROWS_SCHEMA.replace("timestamp_ntz", ts_type)
+    inline_dim = embedding_dim if (with_embeddings and not dedupe_embeddings) else None
+    if inline_dim:
+        schema += ", embedding array<float>"
+    chunks = validated_pages(pages).mapInPandas(
+        _fused_chunk_rows(chunk_size, overlap, use_text_column, inline_dim), schema
+    ).withColumn("chunk_id", F.concat_ws("_", "url", "chunk_index"))
+    if not with_embeddings or inline_dim:
         return chunks
 
     embed = make_embed_udf(embedding_dim)
-    chunks = chunks.withColumn("norm_text", normalize_for_caching_udf("content"))
     distinct_texts = chunks.select("norm_text").dropDuplicates()
     embedded = distinct_texts.withColumn("embedding", embed("norm_text"))
     return chunks.join(embedded, "norm_text")

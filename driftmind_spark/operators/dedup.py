@@ -97,13 +97,19 @@ def minhash_lsh_pairs_sql(
     of ``num_perm // bands`` slots hashed with md5 — identical arithmetic
     in Spark and the DuckDB oracle, JVM-side md5 (no Python).
 
-    Returns candidate (doc_a, doc_b) pairs sharing >= 1 band."""
+    Returns candidate (doc_a, doc_b) pairs sharing >= 1 band.
+
+    Shingles are mod-sampled (Broder's modded shingling): only shingles
+    whose md5 ends in 0-3 survive — a consistent 1/4 sample that cuts the
+    per-permutation aggregation volume 4x with the SAME rule on both
+    engines, so the oracle still matches exactly."""
     rows_per_band = num_perm // bands
     sh = (
         docs.select(
             "doc_id",
             F.explode(_shingles(NORM(F.col(text_col)), shingle_k)).alias("sh"),
         )
+        .filter(F.substring(F.md5("sh"), 32, 1).isin("0", "1", "2", "3"))
     )
     sig = sh.groupBy("doc_id").agg(
         *[

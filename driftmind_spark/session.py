@@ -39,7 +39,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 128 MiB is right for petabyte tables; sandbox test files are
+        # single-digit MiB, so local runs override via env to keep all
+        # cores busy on small scans (bench.py sets 4 MiB).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -84,10 +84,10 @@ def _pick_zipf(rng: random.Random) -> int:
 
 
 def _page_sentences(
-    rng: random.Random, lang: str
+    rng: random.Random, lang: str, min_sent: int = 2, max_sent: int = 8
 ) -> tuple[list[str], list[tuple[str, str, str, str, str]]]:
     """Generate sentences + expected (subj, pred, obj, subj_canon, obj_canon)."""
-    n_sent = rng.randint(2, 8)
+    n_sent = rng.randint(min_sent, max_sent)
     sentences: list[str] = []
     triples: list[tuple[str, str, str, str, str]] = []
     fillers = FILLER_SENTENCES[lang]
@@ -143,7 +143,8 @@ def _render_html(
     )
 
 
-def generate_page(page_idx: int, seed: int = 42) -> dict:
+def generate_page(page_idx: int, seed: int = 42,
+                  min_sent: int = 2, max_sent: int = 8) -> dict:
     """Generate one page + its expected triples, deterministically."""
     rng = random.Random((seed << 32) ^ page_idx)
     lang = "de" if rng.random() < 0.2 else "en"
@@ -153,7 +154,7 @@ def generate_page(page_idx: int, seed: int = 42) -> dict:
         triples: list[tuple[str, str, str, str, str]] = []
         paras = [text] if text else []
     else:
-        sentences, triples = _page_sentences(rng, lang)
+        sentences, triples = _page_sentences(rng, lang, min_sent, max_sent)
         paras = []
         i = 0
         while i < len(sentences):
@@ -196,14 +197,20 @@ TRIPLES_SCHEMA = pa.schema(
 
 
 def generate_pages(
-    n: int, seed: int = 42, start: int = 0
+    n: int, seed: int = 42, start: int = 0,
+    min_sent: int = 2, max_sent: int = 8,
 ) -> tuple[pa.Table, pa.Table]:
-    """Generate ``n`` pages -> (pages table, expected_triples table)."""
+    """Generate ``n`` pages -> (pages table, expected_triples table).
+
+    ``min_sent``/``max_sent`` size the main-content block: the (2, 8)
+    default keeps unit tests fast; the bench corpus uses (20, 60) so
+    pages approximate real boilerplate-stripped web documents and the
+    scaling measurement is compute-bound rather than overhead-bound."""
     cols: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     tcols: dict[str, list] = {k: [] for k in ("url", "subj", "pred", "obj",
                                               "subj_canon", "obj_canon")}
     for i in range(start, start + n):
-        page = generate_page(i, seed)
+        page = generate_page(i, seed, min_sent, max_sent)
         for k in cols:
             cols[k].append(page[k])
         for (subj, pred, obj, sc, oc) in page["triples"]:
@@ -218,7 +225,9 @@ def generate_pages(
     return pages, triples
 
 
-def write_corpus(out_dir: str, n: int, seed: int = 42, batch_size: int = 100_000) -> None:
+def write_corpus(out_dir: str, n: int, seed: int = 42,
+                 batch_size: int = 100_000,
+                 min_sent: int = 2, max_sent: int = 8) -> None:
     """Write ``pages.parquet``, ``expected_triples.parquet`` and
     ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
     scan)."""
@@ -229,7 +238,8 @@ def write_corpus(out_dir: str, n: int, seed: int = 42, batch_size: int = 100_000
     triples_writer = pq.ParquetWriter(f"{out_dir}/expected_triples.parquet", TRIPLES_SCHEMA)
     for start in range(0, n, batch_size):
         cnt = min(batch_size, n - start)
-        pages, triples = generate_pages(cnt, seed=seed, start=start)
+        pages, triples = generate_pages(cnt, seed=seed, start=start,
+                                        min_sent=min_sent, max_sent=max_sent)
         pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
         triples_writer.write_table(triples)
     pages_writer.close()

@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG pipeline (north_star: "ships as
+spark-submit --py-files modules").
+
+Usage::
+
+    python scripts/make_pyfiles_zip.py /tmp/driftmind_spark.zip
+    spark-submit --master local[32] \
+        --py-files /tmp/driftmind_spark.zip \
+        scripts/run_pipeline.py <corpus_dir> <out_dir> [run_id]
+
+On a cluster, the same command with ``--master yarn``/``k8s`` and the
+executor sizing of your fleet; every config the pipeline relies on
+(AQE, Arrow, dynamic partition overwrite) is set programmatically in
+``driftmind_spark.session`` so nothing depends on cluster defaults.
+"""
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    corpus_dir = sys.argv[1]
+    out_dir = sys.argv[2]
+    run_id = sys.argv[3] if len(sys.argv) > 3 else "run-1"
+
+    # spark-submit owns the session; apply our confs onto the builder
+    spark = (
+        SparkSession.builder.appName("driftmind-kg-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .getOrCreate()
+    )
+    from driftmind_spark.kg.pipeline import run
+
+    metrics = run(spark, corpus_dir, out_dir, run_id=run_id)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

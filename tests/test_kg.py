@@ -173,7 +173,7 @@ def test_kill_and_resume_identical(spark, pages_dir, tmp_path_factory):
     # lineage shows chunks+triples committed, nodes/edges absent
     lin = spark.read.parquet(f"{out_killed}/lineage")
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
-    assert stages == {"chunks", "triples"}
+    assert stages == {"extract", "chunks", "triples"}
     assert not os.path.exists(f"{out_killed}/nodes")
 
     # resume completes; independent full run for comparison
@@ -215,7 +215,7 @@ def test_resume_skips_completed_buckets(spark, pages_dir, tmp_path_factory):
     run(spark, pages_dir, out, embedding_dim=32, n_buckets=8)
     lin = spark.read.parquet(f"{out}/lineage")
     dupes = (
-        lin.filter(F.col("stage").isin("chunks", "triples"))
+        lin.filter(F.col("stage").isin("extract", "chunks", "triples"))
         .groupBy("stage", "bucket").count().filter(F.col("count") > 1).count()
     )
     assert dupes == 0
