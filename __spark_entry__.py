@@ -585,6 +585,91 @@ def q_simhash_pairs(spark, sf_dir):
     return dd.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=12)
 
 
+
+
+def q_contains_join(spark, sf_dir):
+    """J2 theta/LIKE containment join (the reference's filename-substring
+    matching, SearchOrchestrationService.cs:529-535) — planned as a
+    broadcast nested-loop join."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.col("a.source") != F.col("b.source"))
+        & F.col("a.source").contains(F.col("b.source")),
+    )
+    return pairs.groupBy(F.col("b.source").alias("contained")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def q_conditional_agg(spark, sf_dir):
+    """A6 success/fail tally: sum(when(...)) conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    ok = F.sum(F.when(F.col("value") >= 10, 1).otherwise(0))
+    return e.groupBy("event_type").agg(
+        ok.alias("n_ok"),
+        (F.count("*") - ok).alias("n_fail"),
+        F.round(ok / F.count("*"), 4).alias("ok_ratio"),
+    )
+
+
+def q_window_context(spark, sf_dir):
+    """W2 adjacent-context frame: +-2 rows around each event, collected in
+    frame order (the reference's adjacent-chunk assembly,
+    ChatService.cs:324-419)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 2)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.concat_ws(",", F.collect_list("event_id").over(w)).alias("context"),
+    )
+
+
+def q_coalesce_intervals(spark, sf_dir):
+    """W3 interval coalescing (gaps-and-islands with running-max end):
+    merge overlapping +-2-minute windows around error events per user
+    (the reference's range merge, ChatService.cs:428-464)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    iv = e.select(
+        "user_id",
+        (_epoch("ts") - 120).alias("start"),
+        (_epoch("ts") + 120).alias("end"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("start"), F.asc("end"))
+    prev_max_end = F.max("end").over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_sec"),
+    )
+
+
+def q_sanitize(spark, sf_dir):
+    """S7 filename sanitizer as a pure column-expression chain."""
+    from driftmind_spark.functions.text import sanitize_filename_col
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("Über "), F.col("source"), F.lit(" / report?<доc>.pdf"))
+    return d.select("doc_id", sanitize_filename_col(raw).alias("sanitized"))
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -610,6 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "except_users": q_except_users,
         "running_sum": q_running_sum,
+        "contains_join": q_contains_join,
+        "conditional_agg": q_conditional_agg,
+        "window_context": q_window_context,
+        "coalesce_intervals": q_coalesce_intervals,
+        "sanitize": q_sanitize,
         # text ops (F-rows) + text analysis
         "terms": q_terms,
         "normalize": q_normalize,
@@ -779,6 +869,87 @@ def oracle_sql() -> dict[str, str]:
                                           order by p_retailprice desc, p_partkey asc) rn
                 from part
             ) where rn <= 3
+        """,
+        "contains_join": """
+            select b.source as contained, count(*) as n_pairs
+            from documents a join documents b
+              on a.doc_id != b.doc_id and a.source != b.source
+             and contains(a.source, b.source)
+            group by b.source
+        """,
+        "conditional_agg": """
+            select event_type,
+                   sum(case when value >= 10 then 1 else 0 end)::bigint as n_ok,
+                   (count(*) - sum(case when value >= 10 then 1 else 0 end))::bigint
+                     as n_fail,
+                   round(sum(case when value >= 10 then 1 else 0 end)::double
+                         / count(*), 4) as ok_ratio
+            from events group by event_type
+        """,
+        "window_context": """
+            select user_id, event_id,
+                   array_to_string(list(event_id) over (
+                       partition by user_id order by ts asc, event_id asc
+                       rows between 2 preceding and 2 following), ',') as context
+            from events where user_id < 5
+        """,
+        "coalesce_intervals": """
+            with iv as (
+                select user_id,
+                       floor(epoch(ts))::bigint - 120 as s0,
+                       floor(epoch(ts))::bigint + 120 as e0
+                from events where event_type = 'error'
+            ),
+            flagged as (
+                select user_id, s0, e0,
+                       case when max(e0) over (partition by user_id
+                                order by s0 asc, e0 asc
+                                rows between unbounded preceding and 1 preceding)
+                              is null
+                            or s0 > max(e0) over (partition by user_id
+                                order by s0 asc, e0 asc
+                                rows between unbounded preceding and 1 preceding)
+                            then 1 else 0 end as new_island
+                from iv
+            ),
+            islands as (
+                select user_id, s0, e0,
+                       sum(new_island) over (partition by user_id
+                           order by s0 asc, e0 asc
+                           rows between unbounded preceding and current row)
+                         as island
+                from flagged
+            ),
+            per_island as (
+                select user_id, island, min(s0) as s, max(e0) as e
+                from islands group by user_id, island
+            )
+            select user_id, count(*)::bigint as n_islands,
+                   sum(e - s)::bigint as covered_sec
+            from per_island group by user_id
+        """,
+        "sanitize": r"""
+            with raw as (
+                select doc_id,
+                       'Über ' || source || ' / report?<доc>.pdf' as r
+                from documents
+            ),
+            cleaned as (
+                select doc_id,
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(
+                            replace(replace(replace(replace(replace(replace(replace(
+                                r, 'ä','ae'),'ö','oe'),'ü','ue'),'Ä','Ae'),
+                                'Ö','Oe'),'Ü','Ue'),'ß','ss'),
+                            '[^\x00-\x7F]', '_', 'g'),
+                        '[<>:"|?*/\\ ]', '_', 'g'),
+                        '_{2,}', '_', 'g'),
+                        '^_+|_+$', '', 'g') as s
+                from raw
+            )
+            select doc_id,
+                   case when s = '' then 'sanitized_file' else s end as sanitized
+            from cleaned
         """,
         "except_users": """
             select distinct user_id from events where event_type = 'click'

@@ -71,6 +71,23 @@ def transliterate_umlauts(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# S7 — filename sanitization (DocumentProcessingService.cs:607-686) as a
+# column expression chain: umlauts transliterated, remaining non-ASCII and
+# forbidden chars -> '_', runs collapsed, edges trimmed.  The pandas-UDF
+# byte-parity port lives in kernels/textproc.py::sanitize_file_name.
+# ---------------------------------------------------------------------------
+
+
+def sanitize_filename_col(col: Column) -> Column:
+    out = transliterate_umlauts(col)
+    out = F.regexp_replace(out, r"[^\x00-\x7F]", "_")
+    out = F.regexp_replace(out, r'[<>:"|?*/\\ ]', "_")
+    out = F.regexp_replace(out, r"_{2,}", "_")
+    out = F.regexp_replace(out, r"^_+|_+$", "")
+    return F.when(out == "", F.lit("sanitized_file")).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
 # T6 — word-boundary truncation (DocumentManagementService.cs:128-142):
 # cut at max_length, back to last space if it lies in the final 20%.
 # ---------------------------------------------------------------------------
