@@ -32,6 +32,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams_col(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams via zip_with over shifted slices — stays inside
+    whole-stage codegen (an element_at-per-index transform lambda was
+    measured 12x slower: it drops to interpreted eval per element)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    out = F.slice(toks, 1, length)
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, length)
+        out = F.zip_with(out, shifted, lambda acc, t: F.concat_ws(" ", acc, t))
+    return out
+
+
 def _shingles(text_col: F.Column, k: int = 5) -> F.Column:
     """Distinct k-char shingles as an array column (JVM-side)."""
     n = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1))
@@ -56,31 +68,35 @@ def ngram_jaccard_pairs(
     built with sequence+transform (pure codegen)."""
     toks = F.filter(F.split(NORM(F.col(text_col)), " "), lambda t: t != "")
     grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                ),
-            )
-        ),
+        F.size(toks) >= n, F.array_distinct(_word_ngrams_col(toks, n))
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     base = docs.select(
         F.col("doc_id"), F.col(block_col).alias("block"), grams.alias("grams")
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = inter / F.greatest(union, F.lit(1))
+    # Inverted-index shape instead of pairwise array_intersect: explode to
+    # (block, gram, doc, |grams|) postings, equi-join postings on
+    # (block, gram) to count shared grams per pair, then
+    # jaccard = shared/(|A|+|B|-shared).  Pairwise array ops cost
+    # O(pairs x |grams|); the postings join costs O(sum_g df_g^2) per
+    # block, which is what actually scales (and what a gram-frequency cap
+    # would bound at web scale).  |grams| rides along in the postings so
+    # grams are computed exactly once per self-join side.
+    postings = base.select(
+        "block", "doc_id", F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+        a.join(b, ["block", "gram"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
         )
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
