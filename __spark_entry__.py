@@ -71,50 +71,27 @@ def _epoch(col):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    from driftmind_spark.functions.udfs import (
-        make_chunk_udf,
-        make_embed_udf,
-        make_relevance_udf,
-    )
-    from driftmind_spark.functions.text import cosine_sim
+    """documents -> chunk+embed (fused kernel) -> full search pipeline
+    (expansion, merge-dedup, 0.7/0.3 re-score, threshold, best-chunk-
+    per-doc, top-k, adjacent context) — §3.2 end to end."""
+    from driftmind_spark.functions.udfs import make_chunk_udf, make_embed_udf
+    from driftmind_spark.operators.search import search
 
     sf_dir = "/root/testdata/sf0.001"
     docs = _t(spark, sf_dir, "documents")
-    query = "fast table join data"
-
     chunk_udf = make_chunk_udf(300, 20)
     embed = make_embed_udf(64)
     chunks = (
         docs.filter(F.trim("text") != "")
         .select(
-            "doc_id", "lang",
+            F.col("doc_id").cast("string").alias("url"),
+            "lang",
             F.posexplode(chunk_udf("text")).alias("chunk_index", "content"),
         )
+        .withColumn("embedding", embed("content"))
     )
-    qvec = F.array(*[
-        F.lit(float(x))
-        for x in __import__("driftmind_spark.kernels.hashing", fromlist=["h"])
-        .hashed_ngram_embedding(query, 64).tolist()
-    ])
-    rel = make_relevance_udf(query)
-    scored = (
-        chunks.withColumn("embedding", embed("content"))
-        .withColumn(
-            "vector_score",
-            cosine_sim(F.transform("embedding", lambda x: x.cast("double")),
-                       F.transform(qvec, lambda x: x.cast("double"))),
-        )
-        .withColumn("score", rel("content", "vector_score"))
-        .filter(F.col("score") >= 0.05)
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk_index"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "embedding")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return search(chunks, "fast table join data", max_results=10,
+                  embedding_dim=64)
 
 
 # ---------------------------------------------------------------------------

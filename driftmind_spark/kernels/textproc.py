@@ -428,6 +428,75 @@ def jaccard_keyword_similarity(a: str, b: str) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Query expansion + document-reference mining
+# (Services/QueryExpansionService.cs:28-72 — LLM call replaced by a
+# deterministic synonym-table expansion, SURVEY.md §2.10/§7.3;
+# Services/ChatHistoryAnalyzer.cs:166-180 — filename regex port)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_DOC_NAME_RE = _re.compile(r"([a-zA-Z0-9\-_]+\.(?:pdf|docx?|txt|md))", _re.IGNORECASE)
+
+
+def expand_query(query: str, max_synonyms_per_term: int = 2) -> str:
+    """Deterministic stand-in for the reference's LLM query expansion:
+    meaningful terms get up to ``max_synonyms_per_term`` synonyms from the
+    reference's own bilingual table appended; unchanged queries return the
+    original (mirroring QueryExpansionService.cs:56-62's same-query
+    fallback)."""
+    if is_null_or_whitespace(query):
+        return query
+    terms = extract_meaningful_terms(query)
+    extra: list[str] = []
+    seen = set(terms)
+    for t in terms:
+        for syn in MULTI_LANGUAGE_SYNONYMS.get(t, ())[:max_synonyms_per_term]:
+            s = syn.lower()
+            if s not in seen:
+                seen.add(s)
+                extra.append(s)
+    if not extra:
+        return query
+    return query + " " + " ".join(extra)
+
+
+def extract_document_references(messages: list[str], last_n: int = 3) -> list[str]:
+    """Port of the filename mining inside
+    ``ChatHistoryAnalyzer.ExtractDocumentNamesFromLine``
+    (Services/ChatHistoryAnalyzer.cs:166-180): document-looking names
+    (3 < len < 100) from the last ``last_n`` messages, deduped
+    case-insensitively, first-seen order."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for msg in messages[-last_n:]:
+        if is_null_or_whitespace(msg):
+            continue
+        for m in _DOC_NAME_RE.finditer(msg):
+            name = net_trim(m.group(1))
+            if 3 < len(name) < 100 and name.lower() not in seen:
+                seen.add(name.lower())
+                out.append(name)
+    return out
+
+
+def contains_any_keyword(content: str, keywords: list[str]) -> bool:
+    """Port of ``TextProcessingHelper.ContainsAnyKeyword``
+    (Services/TextProcessingHelper.cs:79-83)."""
+    low = content.lower()
+    return any(k.lower() in low for k in keywords)
+
+
+def document_referenced(doc_id: str, references: list[str]) -> bool:
+    """Port of ``ChatHistoryAnalyzer.DocumentIsReferencedInHistory``
+    (Services/ChatHistoryAnalyzer.cs:184-204), id-only variant."""
+    if is_null_or_whitespace(doc_id) or not references:
+        return False
+    low = doc_id.lower()
+    return any(r.lower() in low or low in r.lower() for r in references)
+
+
+# ---------------------------------------------------------------------------
 # Follow-up classification (Services/FollowUpQuestionAnalyzer.cs:8-75)
 # ---------------------------------------------------------------------------
 

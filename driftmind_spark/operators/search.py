@@ -1,0 +1,155 @@
+"""The POST /search pipeline (SURVEY.md §3.2) as one DataFrame
+expression over a chunks table.
+
+Reference flow (SearchOrchestrationService.cs:39-312) — follow-up
+classification, query expansion, dual hybrid search, merge-dedup,
+chunk-0 metadata join, 0.7/0.3 re-scoring, history boosts, threshold,
+per-document diversification, top-k, adjacent-context assembly — with
+the per-request network hops replaced by one declarative plan:
+
+  chunks -> vector score (cosine vs broadcast query vec)
+         -> union(original, expanded) -> max-score dedup (J3)
+         -> relevance blend (F5) -> history boosts (x1.8 / x1.3)
+         -> threshold (P6) -> best-chunk-per-doc (A4) -> top-k (W1)
+         -> +-k adjacent chunks window (W2/J5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import cosine_sim
+from ..functions.udfs import make_relevance_udf
+from ..kernels.hashing import hashed_ngram_embedding
+from ..kernels.textproc import (
+    expand_query,
+    extract_document_references,
+    extract_history_keywords,
+    is_follow_up_question,
+)
+
+# appsettings.json:31 + SearchOrchestrationService.cs:337
+MIN_SCORE = 0.15
+MIN_SCORE_FOLLOW_UP = 0.05
+HISTORY_DOC_BOOST = 1.8   # SearchHistoryService.cs:162
+HISTORY_KW_BOOST = 1.3    # SearchHistoryService.cs:169
+
+
+def _query_vec_col(query: str, dim: int):
+    return F.array(*[F.lit(float(x))
+                     for x in hashed_ngram_embedding(query, dim).tolist()])
+
+
+def _scored(chunks: DataFrame, query: str, dim: int, label: str) -> DataFrame:
+    qv = F.transform(_query_vec_col(query, dim), lambda x: x.cast("double"))
+    cv = F.transform("embedding", lambda x: x.cast("double"))
+    return chunks.withColumn("vector_score", cosine_sim(cv, qv)).withColumn(
+        "search_leg", F.lit(label)
+    )
+
+
+def search(
+    chunks: DataFrame,
+    query: str,
+    max_results: int = 10,
+    history: list[str] | None = None,
+    embedding_dim: int = 256,
+    adjacent: int = 2,
+    use_expansion: bool = True,
+) -> DataFrame:
+    """Returns the top ``max_results`` best-chunk-per-document rows with
+    scores and an adjacent-context column."""
+    history = history or []
+    follow_up = is_follow_up_question(query)
+    min_score = MIN_SCORE_FOLLOW_UP if follow_up else MIN_SCORE
+
+    # oversample factor (SearchOrchestrationService.cs:107-110, T5)
+    oversample = 4 if len(query) < 20 else 3
+    cand_k = min(max_results * oversample, 100)
+
+    legs = _scored(chunks, query, embedding_dim, "orig")
+    expanded = expand_query(query) if use_expansion else query
+    if expanded != query:
+        legs = legs.unionByName(_scored(chunks, expanded, embedding_dim, "exp"))
+
+    # J3 merge-dedup: keep the higher-scoring leg per (url, chunk_index)
+    w_dedup = Window.partitionBy("url", "chunk_index").orderBy(
+        F.desc("vector_score"), F.asc("search_leg")
+    )
+    merged = (
+        legs.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "search_leg")
+    )
+
+    # candidate cut before the (python) re-scorer — T5 oversampling
+    candidates = merged.orderBy(F.desc("vector_score")).limit(cand_k)
+
+    # F5 exact-port re-scoring 0.7*vector + 0.3*text
+    rel = make_relevance_udf(query)
+    rescored = candidates.withColumn("score", rel("content", "vector_score"))
+
+    # history boosts (SearchHistoryService.cs:155-171): x1.8 when the
+    # document id matches a mined reference, else x1.3 on keyword overlap
+    refs = extract_document_references(history)
+    kws = extract_history_keywords(history)
+    if refs or kws:
+        ref_hit = F.lit(False)
+        for r in refs:
+            # match on the filename stem: the reference compares document
+            # ids against mined FILE names both ways (ChatHistoryAnalyzer
+            # .cs:188-193); our document ids are urls, so the extension
+            # mined from prose ('.pdf') need not equal the url's ('.html')
+            stem = r.rsplit(".", 1)[0].lower()
+            ref_hit = ref_hit | F.lower("url").contains(stem)
+        kw_hit = F.lit(False)
+        for k in kws:
+            kw_hit = kw_hit | F.lower("content").contains(k.lower())
+        rescored = rescored.withColumn(
+            "score",
+            F.when(ref_hit, F.col("score") * HISTORY_DOC_BOOST)
+            .when(kw_hit, F.col("score") * HISTORY_KW_BOOST)
+            .otherwise(F.col("score")),
+        )
+
+    # P6 threshold -> A4 best chunk per document -> W1 global top-k
+    filtered = rescored.filter(F.col("score") >= min_score)
+    w_doc = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("chunk_index"))
+    best = (
+        filtered.withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(max_results)
+    )
+
+    # W2/J5 adjacent context: the +-k chunks around each hit, in order
+    # (ChatService.cs:324-419's context assembly as a range join)
+    ctx = chunks.select(
+        F.col("url").alias("c_url"),
+        F.col("chunk_index").alias("c_idx"),
+        F.col("content").alias("c_content"),
+    )
+    with_ctx = (
+        best.join(
+            ctx,
+            (F.col("c_url") == best.url)
+            & F.col("c_idx").between(
+                best.chunk_index - adjacent, best.chunk_index + adjacent
+            ),
+        )
+        .groupBy("url", "chunk_index", "content", "score", "vector_score")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("c_idx", "c_content"))
+                    ),
+                    lambda s: s.c_content,
+                ),
+            ).alias("context")
+        )
+    )
+    return with_ctx.orderBy(F.desc("score"), F.asc("url"))

@@ -88,4 +88,4 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert {"doc_id", "score", "content"}.issubset(set(df.columns))
+    assert {"url", "score", "content", "context"}.issubset(set(df.columns))
