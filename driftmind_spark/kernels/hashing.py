@@ -122,17 +122,35 @@ def rolling_fingerprint(text: str, base: int = 31) -> int:
 # ---------------------------------------------------------------------------
 
 
+# Per-worker memo of feature -> 64-bit hash.  Natural-language token
+# frequencies are Zipfian, so the hit rate is high and the blake2b cost
+# collapses; bounded so a pathological vocabulary cannot OOM a worker.
+_FEATURE_HASH_CACHE: dict[str, int] = {}
+_FEATURE_HASH_CACHE_MAX = 1_000_000
+
+
+def _feature_hash(f: str) -> int:
+    h = _FEATURE_HASH_CACHE.get(f)
+    if h is None:
+        h = stable_hash64(f)
+        if len(_FEATURE_HASH_CACHE) < _FEATURE_HASH_CACHE_MAX:
+            _FEATURE_HASH_CACHE[f] = h
+    return h
+
+
 def hashed_ngram_embedding(text: str, dim: int = 256) -> np.ndarray:
     """Signed feature-hashing of unigrams + word bigrams, L2-normalized
     float32[dim].  Deterministic; similar texts get high cosine."""
-    vec = np.zeros(dim, dtype=np.float64)
     toks = text.lower().split()
+    if not toks:
+        return np.zeros(dim, dtype=np.float32)
     feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
-    for f in feats:
-        h = stable_hash64(f)
-        bucket = h % dim
-        sign = 1.0 if (h >> 63) & 1 else -1.0
-        vec[bucket] += sign
+    hs = np.fromiter((_feature_hash(f) for f in feats),
+                     dtype=np.uint64, count=len(feats))
+    buckets = (hs % np.uint64(dim)).astype(np.int64)
+    signs = np.where((hs >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
+    vec = np.zeros(dim, dtype=np.float64)
+    np.add.at(vec, buckets, signs)
     norm = np.linalg.norm(vec)
     if norm > 0:
         vec /= norm

@@ -1,0 +1,92 @@
+"""Table IO abstraction (SURVEY.md §7.4.5): one writer/reader API shared
+by the partitioned-Parquet backend (sandbox) and an Iceberg backend
+(activated when an Iceberg catalog is configured — no runtime jar ships
+in this container).
+
+The pipeline's durability protocol (dynamic partition overwrite + lineage
+commit, kg/lineage.py) is backend-independent: on Iceberg both writes
+fold into one transactional commit; on Parquet the directory layout plus
+commit-after-write ordering provides the same resume semantics.
+
+Schema evolution (the reference's in-place index migration,
+``Services/SearchService.cs:114-208`` / S12): additive columns are free —
+Parquet via ``mergeSchema`` reads, Iceberg via ``ALTER TABLE ADD
+COLUMNS``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    try:
+        conf = spark.conf
+        for key in ("spark.sql.catalog.spark_catalog", "spark.sql.catalog.iceberg"):
+            try:
+                if "iceberg" in (conf.get(key) or "").lower():
+                    return True
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return False
+
+
+@dataclass
+class TableIO:
+    """``backend='parquet'`` writes path-addressed partitioned Parquet;
+    ``backend='iceberg'`` writes name-addressed tables via ``writeTo``.
+    ``auto`` picks iceberg when a catalog is configured."""
+
+    spark: SparkSession
+    backend: str = "auto"
+
+    def _resolved(self) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "iceberg" if iceberg_available(self.spark) else "parquet"
+
+    def write(
+        self,
+        df: DataFrame,
+        target: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> None:
+        backend = self._resolved()
+        if backend == "iceberg":
+            writer = df.writeTo(target)
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "overwrite":
+                writer.createOrReplace()
+            elif mode == "overwrite_partitions":
+                writer.overwritePartitions()
+            else:
+                writer.append()
+            return
+        # parquet backend: zero-row partitioned writes drop the schema
+        # footer entirely — fall back to an unpartitioned empty write
+        w = df.write.mode("overwrite" if mode == "overwrite_partitions" else mode)
+        if partition_by and not df.isEmpty():
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+
+    def read(self, target: str, merge_schema: bool = False) -> DataFrame:
+        if self._resolved() == "iceberg":
+            return self.spark.table(target)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(target)
+
+    def add_columns_read(self, target: str) -> DataFrame:
+        """S12 additive schema evolution: union the schemas of all files
+        (old rows get NULLs for new columns)."""
+        return self.read(target, merge_schema=True)

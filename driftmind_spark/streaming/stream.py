@@ -77,6 +77,31 @@ def stream_chunks(
     )
 
 
+def stream_dedupe_pages(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+):
+    """Idempotent re-upload rejection (the reference returns Conflict for
+    an existing DocumentId, ``Services/DocumentProcessingService.cs:
+    44-58``) as stateful streaming dedup: the first page per url within
+    the watermark horizon passes, duplicates are dropped; the watermark
+    bounds the dedup state so it cannot grow unboundedly at crawl scale."""
+    deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
+        ["url"]
+    )
+    return (
+        deduped.select("url", "warc_ts", "lang")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_host_counts(
     pages_stream: DataFrame,
     out_path: str,

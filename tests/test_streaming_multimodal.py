@@ -86,6 +86,31 @@ def test_stream_resume_from_checkpoint(spark, stream_corpus, tmp_path_factory):
     assert n1 == n2
 
 
+def test_stream_dedupe_pages(spark, stream_corpus, tmp_path_factory):
+    """Stateful idempotent-ingest: duplicated input files produce each url
+    exactly once downstream."""
+    import shutil
+
+    from driftmind_spark.streaming.stream import stream_dedupe_pages
+
+    dup_dir = str(tmp_path_factory.mktemp("dup_pages"))
+    for i, f in enumerate(sorted(__import__("glob").glob(f"{stream_corpus}/*.parquet"))):
+        shutil.copy(f, f"{dup_dir}/part-{i}a.parquet")
+        shutil.copy(f, f"{dup_dir}/part-{i}b.parquet")  # exact duplicates
+    out = str(tmp_path_factory.mktemp("dedupe_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_dd"))
+    # wide watermark: micro-batch arrival order (mtime) is arbitrary for
+    # copied files, so a narrow watermark would legitimately drop late
+    # originals — here we test the dedup semantics, not lateness
+    q = stream_dedupe_pages(read_pages_stream(spark, dup_dir, 2), out, ckpt,
+                            watermark="2 days")
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    n_unique = spark.read.parquet(dup_dir).select("url").distinct().count()
+    assert res.count() == n_unique  # every url emitted exactly once
+    assert res.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
 # ---- multimodal ----------------------------------------------------------------
 
 @pytest.fixture(scope="module")
