@@ -24,6 +24,7 @@ aggregation.  AQE skew-join splitting is on globally (session.py).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +80,12 @@ def run(
         aliases = spark.read.parquet(aliases_path)
 
     metrics: dict = {"run_id": run_id}
+    _t0 = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        metrics[f"sec_{stage}"] = round(time.perf_counter() - _t0, 1)
+        _t0 = time.perf_counter()
 
     # ---- stage 0: extract once (bucketed, resumable) ------------------------
     # The extracted-text table is the Spark analog of the reference's
@@ -101,6 +108,7 @@ def run(
         ln.commit_stage(spark, out_dir, run_id, "extract", written)
     extracted = spark.read.parquet(extracted_path)
     metrics["extracted"] = extracted.count()
+    _mark("extract")
     if fail_after_stage == "extract":
         raise StageKill("injected failure after stage: extract")
 
@@ -118,6 +126,7 @@ def run(
         )
         ln.commit_stage(spark, out_dir, run_id, "chunks", written)
     metrics["chunks"] = spark.read.parquet(chunks_path).count()
+    _mark("chunks")
     if fail_after_stage == "chunks":
         raise StageKill("injected failure after stage: chunks")
 
@@ -135,6 +144,7 @@ def run(
         ln.commit_stage(spark, out_dir, run_id, "triples", written)
     triples = spark.read.parquet(triples_path)
     metrics["triples"] = triples.count()
+    _mark("triples")
     if fail_after_stage == "triples":
         raise StageKill("injected failure after stage: triples")
 
@@ -160,6 +170,7 @@ def run(
     nodes = spark.read.parquet(nodes_path)
     metrics["nodes"] = nodes.count()
     metrics["components"] = nodes.select("canonical_id").distinct().count()
+    _mark("nodes")
     if fail_after_stage == "nodes":
         raise StageKill("injected failure after stage: nodes")
 
@@ -213,4 +224,5 @@ def run(
             spark.read.parquet(edges_path).count(),
         )
     metrics["edges"] = spark.read.parquet(edges_path).count()
+    _mark("edges")
     return metrics

