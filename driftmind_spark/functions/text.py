@@ -34,13 +34,12 @@ _TERM_SPLIT_PATTERN = r"[ ,.!?:;\-()\[\]\n\r]+"
 
 
 def terms_array(col: Column, stop_words: tuple[str, ...]) -> Column:
+    # array_except is a hash-set difference (and dedupes), vs an O(|stop|)
+    # array_contains scan per token inside a filter lambda
     stop_lit = F.array(*[F.lit(w) for w in stop_words])
     toks = F.split(F.lower(col), _TERM_SPLIT_PATTERN)
-    filtered = F.filter(
-        toks,
-        lambda t: (F.length(t) > 2) & ~F.array_contains(stop_lit, t),
-    )
-    return F.array_sort(F.array_distinct(filtered))
+    long_enough = F.filter(toks, lambda t: F.length(t) > 2)
+    return F.array_sort(F.array_except(long_enough, stop_lit))
 
 
 # ---------------------------------------------------------------------------
