@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_DOCS", "50000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_DOCS", "100000"))
 # realistic boilerplate-stripped page sizes (~20-60 sentences) so the
 # scaling measurement is compute-bound, not scheduling-overhead-bound
 SCALING_SENT = (20, 60)
