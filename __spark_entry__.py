@@ -722,8 +722,13 @@ def oracle_sql() -> dict[str, str]:
     question_words_sql = " or ".join(
         f"starts_with(q, '{w} ')" for w in QUESTION_WORDS
     )
+    from driftmind_spark.operators.dedup import _MINHASH_P, minhash_params
+
+    # one md5 per shingle; 16 permutations from a universal-hash family
+    # with the SAME (a_i, b_i) literals the Spark operator embeds
     minhash_sigs = ",\n            ".join(
-        f"min(md5('{i}' || sh)) as s{i}" for i in range(16)
+        f"min(({a} * x + {b}) % {_MINHASH_P}) as s{i}"
+        for i, (a, b) in enumerate(minhash_params(16))
     )
     minhash_bands = ",\n            ".join(
         "md5(concat_ws('|', s{0}, s{1}, s{2}, s{3})) as band{4}".format(
@@ -1037,12 +1042,18 @@ def oracle_sql() -> dict[str, str]:
                 from documents
             ),
             shs as (
-                select doc_id, sh from sh
+                select doc_id, md5(sh) as h from sh
                 where substr(md5(sh), 32, 1) in ('0', '1', '2', '3')
+            ),
+            xs as (
+                select doc_id,
+                       cast(concat('0x', substr(h, 1, 8)) as bigint)
+                           % {_MINHASH_P} as x
+                from shs
             ),
             sig as (
                 select doc_id, {minhash_sigs}
-                from shs group by doc_id
+                from xs group by doc_id
             ),
             banded as (
                 select doc_id, {minhash_bands}

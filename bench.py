@@ -158,6 +158,29 @@ def _run_scaling(n_docs: int) -> dict:
     out["scaling_efficiency_8_to_32"] = round(
         (out["local[32]"]["docs_per_sec"] / out["local[8]"]["docs_per_sec"]) / 4.0, 3)
     out["scaling_efficiency"] = out["scaling_efficiency_2_to_8"]
+    # Hardware control (scripts/hw_control.py): the SAME per-doc kernels
+    # through bare multiprocessing — no JVM/Arrow/scheduler.  This box is
+    # a single-socket VM with host-side CPU overcommit (a pure blake2b
+    # loop measures ~0.47 efficiency at 8->32 with zero I/O), so the
+    # control separates Spark's own scaling loss from the box's ceiling;
+    # normalized = spark_eff / control_eff is the cluster-faithful claim.
+    ctrl = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "hw_control.py"),
+         os.path.join(corpus, "pages.parquet"), str(min(n_docs, 48000))],
+        capture_output=True, text=True, timeout=1800,
+    )
+    try:
+        line = [l for l in ctrl.stdout.strip().splitlines() if l.startswith("{")][-1]
+        hw = json.loads(line)
+        out["hardware_control"] = hw
+        for pair in ("2_to_8", "8_to_32"):
+            ce = hw.get(f"eff_{pair}")
+            if ce:
+                out[f"normalized_efficiency_{pair}"] = round(
+                    min(out[f"scaling_efficiency_{pair}"] / ce, 1.0), 3
+                )
+    except (IndexError, KeyError, ValueError):
+        out["hardware_control"] = {"error": ctrl.stderr[-400:]}
     return out
 
 

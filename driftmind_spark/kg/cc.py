@@ -64,6 +64,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never pass silently: min-label propagation needs O(diameter)
+        # rounds, so a chain longer than max_iter would otherwise return
+        # SPLIT components as if they were correct
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or use a lower-round algorithm for "
+            "high-diameter graphs"
+        )
     return labels
 
 

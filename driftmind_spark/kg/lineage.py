@@ -74,23 +74,63 @@ def commit_stage(
     stage: str,
     written: DataFrame,
     ts_col: str = "warc_ts",
+    attempted_buckets: list[int] | None = None,
 ) -> None:
     """Append per-bucket lineage rows for data that is already durable.
-    ``written`` must carry a ``bucket`` column."""
+    ``written`` must carry a ``bucket`` column.
+
+    ``attempted_buckets`` is the set of buckets this run PROCESSED, not
+    just the ones that produced rows: a processed bucket whose pages
+    yielded zero output still gets a ``row_count=0`` 'done' row —
+    without it the bucket is re-attempted on every resume forever, and
+    its empty re-write is exactly the trigger for the empty-DataFrame
+    table-wipe hazard TableIO guards against."""
     agg_ts = (
         F.max(ts_col).alias("max_warc_ts")
         if ts_col in written.columns
         else F.lit(None).cast("timestamp").alias("max_warc_ts")
     )
+    counts = written.groupBy("bucket").agg(
+        F.count("*").alias("row_count"), agg_ts
+    )
+    if attempted_buckets is not None:
+        attempted = spark.createDataFrame(
+            [(int(b),) for b in attempted_buckets], "bucket int"
+        )
+        counts = attempted.join(counts, "bucket", "left").select(
+            "bucket",
+            F.coalesce("row_count", F.lit(0)).alias("row_count"),
+            F.col("max_warc_ts"),
+        )
     rows = (
-        written.groupBy("bucket")
-        .agg(F.count("*").alias("row_count"), agg_ts)
-        .withColumn("run_id", F.lit(run_id))
+        counts.withColumn("run_id", F.lit(run_id))
         .withColumn("stage", F.lit(stage))
         .withColumn("status", F.lit("done"))
         .select("run_id", "stage", "bucket", "row_count", "max_warc_ts", "status")
     )
     rows.write.mode("append").parquet(lineage_path(out_dir))
+
+
+def committed_row_count(
+    spark: SparkSession, out_dir: str, run_id: str, stage: str
+) -> int:
+    """Total rows committed for (run_id, stage), summed from the lineage
+    table — the tiny-metadata replacement for re-scanning a freshly
+    written stage table just to report its size (at 100 TB that re-scan
+    is a full extra pass per stage).  Each bucket is counted once (max
+    per bucket guards a double-append)."""
+    per_bucket = (
+        read_lineage(spark, out_dir)
+        .filter(
+            (F.col("run_id") == run_id)
+            & (F.col("stage") == stage)
+            & (F.col("status") == "done")
+        )
+        .groupBy("bucket")
+        .agg(F.max("row_count").alias("row_count"))
+    )
+    row = per_bucket.agg(F.coalesce(F.sum("row_count"), F.lit(0))).collect()[0]
+    return int(row[0])
 
 
 def stage_marker_done(spark: SparkSession, out_dir: str, run_id: str, stage: str) -> bool:

@@ -59,6 +59,15 @@ def _not_done_pages(spark, pages, out_dir, run_id, stage, n_buckets):
     return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
 
 
+def _todo_buckets(todo: DataFrame) -> list[int]:
+    """The bucket ids this run will attempt — bounded by n_buckets (a
+    config constant, not data), so collecting it is driver-safe.  Used
+    for three things: the did-anything-survive check, static partition
+    pruning of the read-back (only touched partitions are re-read for
+    lineage counting), and the attempted-bucket lineage commit."""
+    return sorted(r[0] for r in todo.select("bucket").distinct().collect())
+
+
 def run(
     spark: SparkSession,
     corpus_dir: str,
@@ -94,7 +103,8 @@ def run(
     # bulk of the bytes at 100 TB — is read and boilerplate-stripped once.
     extracted_path = os.path.join(out_dir, "extracted")
     todo = _not_done_pages(spark, pages, out_dir, run_id, "extract", n_buckets)
-    if todo.limit(1).count() > 0:
+    buckets = _todo_buckets(todo)
+    if buckets:
         extracted = (
             (todo.select("url", "warc_ts", "lang", F.col("text"), "bucket")
              if use_text_column else
@@ -102,12 +112,13 @@ def run(
                  "bucket", ln.bucket_col("url", n_buckets)))
         )
         _write_bucketed(extracted, extracted_path)
-        written = spark.read.parquet(extracted_path).join(
-            todo.select("bucket").distinct(), "bucket", "semi"
+        written = spark.read.parquet(extracted_path).filter(
+            F.col("bucket").isin(buckets)
         )
-        ln.commit_stage(spark, out_dir, run_id, "extract", written)
+        ln.commit_stage(spark, out_dir, run_id, "extract", written,
+                        attempted_buckets=buckets)
     extracted = spark.read.parquet(extracted_path)
-    metrics["extracted"] = extracted.count()
+    metrics["extracted"] = ln.committed_row_count(spark, out_dir, run_id, "extract")
     _mark("extract")
     if fail_after_stage == "extract":
         raise StageKill("injected failure after stage: extract")
@@ -115,17 +126,19 @@ def run(
     # ---- stage 1: chunks (bucketed, resumable) -----------------------------
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "chunks", n_buckets)
     chunks_path = os.path.join(out_dir, "chunks")
-    if todo.limit(1).count() > 0:
+    buckets = _todo_buckets(todo)
+    if buckets:
         chunks = build_chunks(
             todo, chunk_size, overlap, embedding_dim,
             use_text_column=True,
         ).withColumn("bucket", ln.bucket_col("url", n_buckets))
         _write_bucketed(chunks, chunks_path)
-        written = spark.read.parquet(chunks_path).join(
-            todo.select("bucket").distinct(), "bucket", "semi"
+        written = spark.read.parquet(chunks_path).filter(
+            F.col("bucket").isin(buckets)
         )
-        ln.commit_stage(spark, out_dir, run_id, "chunks", written)
-    metrics["chunks"] = spark.read.parquet(chunks_path).count()
+        ln.commit_stage(spark, out_dir, run_id, "chunks", written,
+                        attempted_buckets=buckets)
+    metrics["chunks"] = ln.committed_row_count(spark, out_dir, run_id, "chunks")
     _mark("chunks")
     if fail_after_stage == "chunks":
         raise StageKill("injected failure after stage: chunks")
@@ -133,17 +146,19 @@ def run(
     # ---- stage 2: triples (bucketed, resumable) -----------------------------
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "triples", n_buckets)
     triples_path = os.path.join(out_dir, "triples")
-    if todo.limit(1).count() > 0:
+    buckets = _todo_buckets(todo)
+    if buckets:
         triples = extract_triples_df(todo, use_text_column=True).withColumn(
             "bucket", ln.bucket_col("url", n_buckets)
         )
         _write_bucketed(triples, triples_path)
-        written = spark.read.parquet(triples_path).join(
-            todo.select("bucket").distinct(), "bucket", "semi"
+        written = spark.read.parquet(triples_path).filter(
+            F.col("bucket").isin(buckets)
         )
-        ln.commit_stage(spark, out_dir, run_id, "triples", written)
+        ln.commit_stage(spark, out_dir, run_id, "triples", written,
+                        attempted_buckets=buckets)
     triples = spark.read.parquet(triples_path)
-    metrics["triples"] = triples.count()
+    metrics["triples"] = ln.committed_row_count(spark, out_dir, run_id, "triples")
     _mark("triples")
     if fail_after_stage == "triples":
         raise StageKill("injected failure after stage: triples")
@@ -162,14 +177,28 @@ def run(
             "bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(n_buckets)).cast("int")
         )
         _write_bucketed(nodes, nodes_path)
-        ln.commit_global_stage(
-            spark, out_dir, run_id, "nodes",
-            spark.read.parquet(nodes_path).count(),
+        # one read-back pass computes BOTH lineage metrics (row count and
+        # distinct components); committing the component count as its own
+        # global stage row means resumed runs report it from lineage
+        # metadata instead of re-scanning the nodes table
+        n_nodes, n_components = (
+            spark.read.parquet(nodes_path)
+            .agg(F.count("*"), F.count_distinct("canonical_id"))
+            .collect()[0]
         )
+        # components first: the 'nodes' row is the stage-done marker, so
+        # it must be the LAST commit (a crash between the two appends must
+        # not leave a done-marked stage with missing metadata)
+        ln.commit_global_stage(
+            spark, out_dir, run_id, "nodes_components", n_components
+        )
+        ln.commit_global_stage(spark, out_dir, run_id, "nodes", n_nodes)
         mentions.unpersist()
     nodes = spark.read.parquet(nodes_path)
-    metrics["nodes"] = nodes.count()
-    metrics["components"] = nodes.select("canonical_id").distinct().count()
+    metrics["nodes"] = ln.committed_row_count(spark, out_dir, run_id, "nodes")
+    metrics["components"] = ln.committed_row_count(
+        spark, out_dir, run_id, "nodes_components"
+    )
     _mark("nodes")
     if fail_after_stage == "nodes":
         raise StageKill("injected failure after stage: nodes")
@@ -223,6 +252,6 @@ def run(
             spark, out_dir, run_id, "edges",
             spark.read.parquet(edges_path).count(),
         )
-    metrics["edges"] = spark.read.parquet(edges_path).count()
+    metrics["edges"] = ln.committed_row_count(spark, out_dir, run_id, "edges")
     _mark("edges")
     return metrics

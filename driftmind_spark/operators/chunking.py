@@ -7,7 +7,7 @@ one declarative DAG instead of 5-6 network round-trips per document.
 
 Scale notes (10^12 rows):
 - every per-url stage is narrow (no shuffle); extract/chunk/normalize/
-  embed run in ONE fused Arrow crossing (mapInPandas) — chained pandas
+  embed run in ONE fused Arrow crossing (mapInArrow) — chained pandas
   UDFs were measured to re-serialize intermediates per stage;
 - chunk indices are assigned in-kernel at emit time (the posexplode/W4
   discipline — never a window shuffle for numbering);
@@ -61,7 +61,7 @@ def extract_text_table(pages: DataFrame) -> DataFrame:
     instead of re-reading and re-stripping the raw html — at 100 TB the
     html column is the bulk of the bytes, so sharing the extraction pass
     halves the pipeline's scan traffic."""
-    return validated_pages(pages).mapInPandas(
+    return validated_pages(pages).mapInArrow(
         _extract_only_kernel(),
         f"url string, warc_ts {dict(pages.dtypes).get('warc_ts', 'timestamp_ntz')}, "
         "lang string, text string",
@@ -69,73 +69,93 @@ def extract_text_table(pages: DataFrame) -> DataFrame:
 
 
 def _extract_only_kernel():
-    import pandas as pd
+    import pyarrow as pa
 
     from ..kernels.extract import extract_main_text
 
     def kernel(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "warc_ts": pdf["warc_ts"],
-                    "lang": pdf["lang"],
-                    "text": pdf["html"].map(extract_main_text),
-                }
+        for rb in batches:
+            cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            text = pa.array(
+                [extract_main_text(h) for h in cols["html"].to_pylist()],
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols["url"], cols["warc_ts"], cols["lang"], text],
+                ["url", "warc_ts", "lang", "text"],
             )
 
     return kernel
 
 
-def _fused_chunk_rows(chunk_size: int, overlap: int, use_text_column: bool,
-                      embedding_dim: int | None):
+def _fused_chunk_batches(chunk_size: int, overlap: int, use_text_column: bool,
+                         embedding_dim: int | None):
     """ONE Python crossing per page batch: extract -> chunk -> normalize
-    [-> embed] inside a single mapInPandas kernel.  Chained pandas UDFs
+    [-> embed] inside a single mapInArrow kernel.  Chained pandas UDFs
     would round-trip each intermediate column through Arrow once per
     stage; at 10^12 rows that ser/de dominates the stage, so the whole
-    stateless per-url part of the pipeline is fused.  Embedding is
-    per-batch cached on norm_text (the reference's embedding-cache
-    semantics, EmbeddingService.cs:33-58, applied at batch granularity —
-    duplicates within a batch are embedded once)."""
-    import pandas as pd
+    stateless per-url part of the pipeline is fused.
+
+    Arrow-native on both sides (r1 verdict follow-up): no pandas
+    DataFrame/index construction, per-doc metadata repeated via
+    ``Array.take`` instead of per-row Python appends, and the embedding
+    column built zero-copy as a ListArray over one flat float32 buffer.
+    Embedding itself is batched: distinct norm_texts per batch are
+    embedded in ONE vectorized call (the reference's embedding-cache
+    semantics, EmbeddingService.cs:33-58, at batch granularity)."""
+    import numpy as np
+    import pyarrow as pa
 
     from ..kernels.extract import extract_main_text
-    from ..kernels.hashing import hashed_ngram_embedding
+    from ..kernels.hashing import hashed_ngram_embeddings_batch
     from ..kernels.textproc import chunk_text, normalize_for_caching
 
     def kernel(batches):
-        for pdf in batches:
-            out = {
-                "url": [], "warc_ts": [], "lang": [],
-                "chunk_index": [], "content": [], "norm_text": [],
-            }
+        for rb in batches:
+            cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            if use_text_column:
+                texts = cols["text"].to_pylist()
+            else:
+                texts = [extract_main_text(h) for h in cols["html"].to_pylist()]
+            src_row: list[int] = []     # source page per chunk (for take)
+            idxs: list[int] = []
+            contents: list[str] = []
+            norms: list[str] = []
+            for r, text in enumerate(texts):
+                chunks = chunk_text(text, chunk_size, overlap)
+                idxs.extend(range(len(chunks)))
+                contents.extend(chunks)
+                norms.extend(normalize_for_caching(c) for c in chunks)
+                src_row.extend([r] * len(chunks))
+            take = pa.array(src_row, type=pa.int64())
+            arrays = [
+                cols["url"].take(take),
+                cols["warc_ts"].take(take),
+                cols["lang"].take(take),
+                pa.array(idxs, type=pa.int32()),
+                pa.array(contents, type=pa.string()),
+                pa.array(norms, type=pa.string()),
+            ]
+            names = ["url", "warc_ts", "lang", "chunk_index", "content",
+                     "norm_text"]
             if embedding_dim:
-                out["embedding"] = []
-                cache: dict[str, list] = {}
-            texts = pdf["text"] if use_text_column else pdf["html"].map(extract_main_text)
-            for url, ts, lang, text in zip(
-                pdf["url"], pdf["warc_ts"], pdf["lang"], texts
-            ):
-                for i, ch in enumerate(chunk_text(text, chunk_size, overlap)):
-                    norm = normalize_for_caching(ch)
-                    out["url"].append(url)
-                    out["warc_ts"].append(ts)
-                    out["lang"].append(lang)
-                    out["chunk_index"].append(i)
-                    out["content"].append(ch)
-                    out["norm_text"].append(norm)
-                    if embedding_dim:
-                        vec = cache.get(norm)
-                        if vec is None:
-                            vec = hashed_ngram_embedding(norm, embedding_dim).tolist()
-                            cache[norm] = vec
-                        out["embedding"].append(vec)
-            pdf_out = pd.DataFrame(out)
-            if pdf_out.empty:
-                # empty python lists default to float64; Arrow cannot cast
-                # that to timestamp — pin the dtype explicitly
-                pdf_out["warc_ts"] = pdf_out["warc_ts"].astype("datetime64[us]")
-            yield pdf_out
+                uniq: dict[str, int] = {}
+                inv = np.fromiter(
+                    (uniq.setdefault(t, len(uniq)) for t in norms),
+                    dtype=np.int64, count=len(norms),
+                )
+                mat = hashed_ngram_embeddings_batch(list(uniq), embedding_dim)
+                flat = mat[inv].ravel() if len(norms) else np.empty(
+                    0, dtype=np.float32
+                )
+                offsets = pa.array(
+                    np.arange(len(norms) + 1, dtype=np.int32) * embedding_dim
+                )
+                arrays.append(
+                    pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+                )
+                names.append("embedding")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     return kernel
 
@@ -176,8 +196,8 @@ def build_chunks(
     inline_dim = embedding_dim if (with_embeddings and not dedupe_embeddings) else None
     if inline_dim:
         schema += ", embedding array<float>"
-    chunks = validated_pages(pages).mapInPandas(
-        _fused_chunk_rows(chunk_size, overlap, use_text_column, inline_dim), schema
+    chunks = validated_pages(pages).mapInArrow(
+        _fused_chunk_batches(chunk_size, overlap, use_text_column, inline_dim), schema
     ).withColumn("chunk_id", F.concat_ws("_", "url", "chunk_index"))
     if not with_embeddings or inline_dim:
         return chunks

@@ -101,6 +101,20 @@ def ngram_jaccard_pairs(
     )
 
 
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def minhash_params(num_perm: int = 16, seed: int = 7) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) universal-hash constants shared by the Spark
+    operator and the DuckDB oracle SQL (both embed them as literals)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MINHASH_P, size=num_perm)
+    b = rng.randint(0, _MINHASH_P, size=num_perm)
+    return list(zip(a.tolist(), b.tolist()))
+
+
 def minhash_lsh_pairs_sql(
     docs: DataFrame,
     text_col: str = "text",
@@ -108,10 +122,20 @@ def minhash_lsh_pairs_sql(
     bands: int = 4,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Portable MinHash-LSH candidate pairs: signature slot i =
-    ``min(md5(i || shingle))`` (lexicographic min over hex strings), bands
-    of ``num_perm // bands`` slots hashed with md5 — identical arithmetic
-    in Spark and the DuckDB oracle, JVM-side md5 (no Python).
+    """Portable MinHash-LSH candidate pairs, ONE md5 per shingle:
+    ``x = hex32(md5(sh)[:8]) mod P`` and slot i = ``min((a_i*x+b_i) mod
+    P)`` over the doc's sampled shingles (P = 2^31-1, fixed seeded a/b) —
+    identical arithmetic in Spark (``conv``) and the DuckDB oracle
+    (``'0x'||substr`` cast), all JVM-side, no Python.
+
+    The previous variant computed 16 independent ``md5(i || sh)`` per
+    exploded shingle row; that md5 x16 was 42% of the whole round-1
+    bench.  Deriving all 16 permutations from one md5 via a universal
+    hash family keeps the oracle-portable arithmetic at ~1/10 the cost.
+    ANSI-overflow-safe: (x mod P) < 2^31 and a_i < 2^31, so a_i*x+b_i
+    < 2^62.  The 32-bit truncation of the md5 is fine at sf scale
+    (collision odds ~1e-7 per million shingles); the production 64-bit
+    numpy MinHash (kernels/hashing.py) remains the web-scale path.
 
     Returns candidate (doc_a, doc_b) pairs sharing >= 1 band.
 
@@ -120,22 +144,53 @@ def minhash_lsh_pairs_sql(
     per-permutation aggregation volume 4x with the SAME rule on both
     engines, so the oracle still matches exactly."""
     rows_per_band = num_perm // bands
+    params = minhash_params(num_perm)
+    # Shingle generation is row-explode, NOT transform(sequence, i ->
+    # substring(norm, i, k)): inside a HOF lambda the normalized-text
+    # expression is re-evaluated PER ELEMENT (no loop-invariant hoisting
+    # in Catalyst), i.e. one full-document regexp_replace per shingle —
+    # measured 13s of the 19s query at sf0.1.  Exploding positions first
+    # evaluates NORM once per document; the generator and the substring
+    # projection fuse into one codegen stage, so the normalized text is
+    # never copied per shingle either.  (array_distinct was dropped: a
+    # min-aggregation is insensitive to duplicate shingles, so distinct
+    # only added a per-doc hash set.)
+    norm = docs.select("doc_id", NORM(F.col(text_col)).alias("t"))
     sh = (
-        docs.select(
+        norm.select(
             "doc_id",
-            F.explode(_shingles(NORM(F.col(text_col)), shingle_k)).alias("sh"),
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("t") - F.lit(shingle_k - 1), F.lit(1)),
+                )
+            ).alias("i"),
         )
-        .filter(F.substring(F.md5("sh"), 32, 1).isin("0", "1", "2", "3"))
+        .select("doc_id", F.md5(F.substring(F.col("t"), F.col("i"), F.lit(shingle_k))).alias("h"))
+        .filter(F.substring("h", 32, 1).isin("0", "1", "2", "3"))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
+                F.lit(_MINHASH_P),
+            ).alias("x"),
+        )
     )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"s{i}")
-            for i in range(num_perm)
+            F.min(
+                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MINHASH_P))
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(params)
         ]
     )
     band_cols = []
     for b in range(bands):
-        cols = [f"s{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        cols = [
+            F.col(f"s{i}").cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
         band_cols.append(
             F.md5(F.concat_ws("|", *cols)).alias(f"band{b}")
         )

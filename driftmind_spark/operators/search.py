@@ -83,8 +83,12 @@ def search(
         .drop("_rn", "search_leg")
     )
 
-    # candidate cut before the (python) re-scorer — T5 oversampling
-    candidates = merged.orderBy(F.desc("vector_score")).limit(cand_k)
+    # candidate cut before the (python) re-scorer — T5 oversampling.
+    # (url, chunk_index) tie-break: equal-scored chunks at the cut
+    # boundary must survive deterministically across partitionings.
+    candidates = merged.orderBy(
+        F.desc("vector_score"), F.asc("url"), F.asc("chunk_index")
+    ).limit(cand_k)
 
     # F5 exact-port re-scoring 0.7*vector + 0.3*text
     rel = make_relevance_udf(query)

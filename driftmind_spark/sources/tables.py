@@ -36,6 +36,15 @@ def iceberg_available(spark: SparkSession) -> bool:
     return False
 
 
+def _path_exists(spark: SparkSession, target: str) -> bool:
+    """Hadoop-FS existence check (works for local, HDFS, and object-store
+    paths alike — os.path would only see the local filesystem)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 @dataclass
 class TableIO:
     """``backend='parquet'`` writes path-addressed partitioned Parquet;
@@ -71,9 +80,22 @@ class TableIO:
             else:
                 writer.append()
             return
-        # parquet backend: zero-row partitioned writes drop the schema
-        # footer entirely — fall back to an unpartitioned empty write
-        if partition_by and not df.isEmpty():
+        if partition_by and df.isEmpty():
+            # Zero-row partitioned writes drop the parquet schema footer
+            # entirely, and a mode('overwrite') fallback would truncate
+            # the WHOLE table, not just the touched partitions (a resumed
+            # run whose todo buckets yield zero rows must never wipe the
+            # buckets committed before it).  So: replacing zero partitions
+            # of an existing table is a no-op; only when nothing exists
+            # yet do we write an unpartitioned empty footer so readers
+            # still see the schema.
+            if mode in ("overwrite_partitions", "append") and _path_exists(
+                self.spark, target
+            ):
+                return
+            df.write.mode("overwrite").parquet(target)
+            return
+        if partition_by:
             # cluster rows by the partition key first: otherwise every
             # task fans out across every partition directory and the job
             # commits tasks x partitions tiny files (measured 230s -> 36s

@@ -86,11 +86,18 @@ def stream_dedupe_pages(
     """Idempotent re-upload rejection (the reference returns Conflict for
     an existing DocumentId, ``Services/DocumentProcessingService.cs:
     44-58``) as stateful streaming dedup: the first page per url within
-    the watermark horizon passes, duplicates are dropped; the watermark
-    bounds the dedup state so it cannot grow unboundedly at crawl scale."""
-    deduped = pages_stream.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["url"]
-    )
+    the watermark horizon passes, duplicates are dropped.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    load-bearing at crawl scale: with ``dropDuplicates(['url'])`` the
+    watermark only filters late input — url state is keyed without an
+    event-time column and is NEVER evicted, growing unboundedly.  The
+    WithinWatermark variant expires each url key once it falls behind
+    the watermark horizon, so state is bounded by the horizon's url
+    arrival rate."""
+    deduped = pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
     return (
         deduped.select("url", "warc_ts", "lang")
         .writeStream.outputMode("append")

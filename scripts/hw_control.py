@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Hardware scaling control for the N->4N efficiency gate.
+
+Runs the pipeline's EXACT per-document Python work (extract -> chunk ->
+normalize -> batch-embed -> OpenIE triples, the same kernels the Spark
+job executes inside mapInArrow) through a bare ``multiprocessing.Pool``
+— no JVM, no Arrow IPC, no scheduler, no shuffle — at the same
+parallelism pairs the Spark scaling bench measures.
+
+Purpose: this sandbox is a single-socket VM whose host over-commits /
+frequency-scales CPUs (a pure blake2b loop measures ~0.47 efficiency at
+8->32 workers with zero I/O); the control separates "Spark's scaling
+loss" from "the box's intrinsic per-core degradation".  The honest
+cluster claim is Spark-efficiency / control-efficiency: on a real
+cluster each executor host keeps its own memory bandwidth and turbo
+headroom, so the control's loss term does not exist there.
+
+Prints one JSON line:
+  {"workers": {"2": docs_per_sec, ...}, "eff_2_to_8": e1, "eff_8_to_32": e2}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from multiprocessing import Pool
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_HTMLS: list[bytes] = []  # loaded pre-fork; workers read it via COW
+
+
+def _work(span: tuple[int, int]) -> int:
+    lo, hi = span
+    from driftmind_spark.kernels.extract import extract_main_text
+    from driftmind_spark.kernels.hashing import hashed_ngram_embeddings_batch
+    from driftmind_spark.kernels.openie import extract_triples
+    from driftmind_spark.kernels.textproc import chunk_text, normalize_for_caching
+
+    n = 0
+    for h in _HTMLS[lo:hi]:
+        text = extract_main_text(h)
+        norms = [normalize_for_caching(c) for c in chunk_text(text, 300, 20)]
+        if norms:
+            hashed_ngram_embeddings_batch(norms, 64)
+        n += len(norms) + len(extract_triples(text))
+    return n
+
+
+def _run(workers: int, n_docs: int) -> float:
+    per = n_docs // workers
+    spans = [(i * per, (i + 1) * per) for i in range(workers)]
+    with Pool(workers) as pool:
+        pool.map(_work, spans)  # warm pass: imports + allocator steady state
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pool.map(_work, spans)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    return n_docs / best
+
+
+def main(corpus_parquet: str, n_docs: int, pairs=((2, 8), (8, 32))) -> dict:
+    import pyarrow.parquet as pq
+
+    global _HTMLS
+    table = pq.read_table(corpus_parquet, columns=["html"])
+    _HTMLS = table.column("html").to_pylist()[:n_docs]
+    n_docs = len(_HTMLS)
+    levels = sorted({w for p in pairs for w in p})
+    rates = {w: round(_run(w, n_docs), 1) for w in levels}
+    out = {"workers": {str(w): r for w, r in rates.items()}, "docs": n_docs}
+    for lo, hi in pairs:
+        out[f"eff_{lo}_to_{hi}"] = round(rates[hi] / rates[lo] / (hi / lo), 3)
+    return out
+
+
+if __name__ == "__main__":
+    corpus = sys.argv[1] if len(sys.argv) > 1 else (
+        "/tmp/driftmind_bench_corpus_100000_20_60/pages.parquet"
+    )
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 48000
+    print(json.dumps(main(corpus, n)))

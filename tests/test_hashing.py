@@ -85,3 +85,15 @@ def test_word_ngrams():
     assert hk.word_ngrams("a b c d", 3) == {"a b c", "b c d"}
     assert hk.word_ngrams("a", 3) == {"a"}
     assert hk.word_ngrams("", 3) == set()
+
+
+@given(st.lists(st.text(max_size=40), max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_batch_embedding_bit_identical_to_scalar(texts):
+    """The vectorized batch kernel must be BIT-identical to the scalar
+    kernel (sums of ±1 are exact in float64, so the different
+    accumulation path changes nothing)."""
+    batch = hk.hashed_ngram_embeddings_batch(texts, 32)
+    assert batch.shape == (len(texts), 32)
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], hk.hashed_ngram_embedding(t, 32))

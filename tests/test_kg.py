@@ -57,6 +57,18 @@ def test_connected_components_matches_union_find(spark, n, edge_list):
     assert got == _union_find_oracle(n, edge_list)
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter rounds must fail loudly, never return
+    silently split components (r1 advice)."""
+    n = 12
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "mention_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iter=2)
+
+
 # ---- blocking + canonicalization over planted clusters ------------------------
 
 @pytest.fixture(scope="module")

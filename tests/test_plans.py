@@ -69,8 +69,10 @@ def test_relational_path_is_codegen(spark):
 def test_chunking_is_single_python_crossing(spark):
     df = entry_mod.queries()["kg_triples"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # exactly one Arrow crossing (the fused kernel), no chained UDF nodes
-    assert plan.count("MapInPandas") == 1
+    # exactly one Arrow crossing (the fused mapInArrow kernel), no
+    # chained UDF nodes and no pandas conversion layer
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan
     assert "ArrowEvalPython" not in plan
 
 

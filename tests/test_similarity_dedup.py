@@ -69,6 +69,40 @@ def test_lsh_topk_high_recall_on_clustered_data(spark, clustered_embeddings):
     assert recall >= 0.9, f"clustered LSH recall {recall:.2f}"
 
 
+def test_lsh_topk_recall_at_1536_dims(spark):
+    """The reference's real dimensionality (ada-002 1536,
+    Models/DocumentChunk.cs:21-22): clustered corpus, recall vs brute
+    force must hold where the round-1 literal-coefficient variant blew
+    up the plan (~49k literal nodes/side)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows, vid = [], 0
+    for c in range(8):
+        base = rng.randn(1536)
+        base /= np.linalg.norm(base)
+        for _ in range(30):
+            # noise scaled for ~0.75 intra-cluster cosine: at 1536 dims a
+            # per-dim sigma of 0.04 would give noise NORM 1.57 (> the unit
+            # signal), i.e. no clusters at all — scale by sqrt(dim)
+            v = base + (0.65 / np.sqrt(1536)) * rng.randn(1536)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 30 == 0)
+    c = emb.filter(F.col("vec_id") % 30 != 0)
+    bf = _pairs(brute_force_topk(q, c, k=10).select("query_id", "vec_id"))
+    lsh_df = lsh_topk(q, c, k=10, dim=1536)
+    lsh = _pairs(lsh_df.select("query_id", "vec_id"))
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.9, f"1536-d LSH recall {recall:.2f}"
+    # single-pass plan: round 1 re-hashed and re-scanned the corpus per
+    # table as 8 UNIONED branches; the rewrite must have none
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
 def test_lsh_topk_recall_on_weak_data(spark):
     """Weakly separated corpus (the sf fixture, top cosines ~0.37):
     documented regime where 4x8 params still recall >= 0.4."""

@@ -52,6 +52,45 @@ def test_empty_write_keeps_schema(spark, io, tmp_path):
     assert set(back.columns) == {"id", "bucket"}
 
 
+def test_empty_overwrite_partitions_never_wipes_existing(spark, io, tmp_path):
+    """Regression (r1 advice): an EMPTY DataFrame under
+    overwrite_partitions used to fall back to a full unpartitioned
+    overwrite, truncating every previously committed partition — the
+    resume-with-empty-todo-bucket data-loss path."""
+    target = str(tmp_path / "t5")
+    df = spark.range(40).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    io.write(df, target, partition_by=("bucket",))
+    empty = df.filter("id < 0")
+    io.write(empty, target, partition_by=("bucket",), mode="overwrite_partitions")
+    back = io.read(target)
+    assert back.count() == 40  # nothing wiped
+    # append of an empty DF on an existing table is likewise a no-op
+    io.write(empty, target, partition_by=("bucket",), mode="append")
+    assert io.read(target).count() == 40
+
+
+def test_zero_output_bucket_committed_once(spark, tmp_path):
+    """Regression (r1 advice): a processed bucket with zero output rows
+    must still get a row_count=0 lineage row, or it is re-attempted on
+    every resume forever."""
+    from driftmind_spark.kg import lineage as ln
+
+    out_dir = str(tmp_path / "lin")
+    written = spark.createDataFrame(
+        [(0, "u1"), (0, "u2"), (2, "u3")], "bucket int, url string"
+    )
+    ln.commit_stage(spark, out_dir, "r", "chunks", written,
+                    attempted_buckets=[0, 1, 2])
+    done = {r[0] for r in ln.completed_buckets(spark, out_dir, "r", "chunks").collect()}
+    assert done == {0, 1, 2}  # bucket 1 committed with zero rows
+    rows = {
+        r["bucket"]: r["row_count"]
+        for r in ln.read_lineage(spark, out_dir).collect()
+    }
+    assert rows == {0: 2, 1: 0, 2: 1}
+    assert ln.committed_row_count(spark, out_dir, "r", "chunks") == 3
+
+
 def test_additive_schema_evolution(spark, io, tmp_path):
     """S12: old rows readable after new columns appear (mergeSchema)."""
     target = str(tmp_path / "t4")
