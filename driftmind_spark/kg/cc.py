@@ -1,25 +1,29 @@
 """K6 — connected components as iterative DataFrame joins (no GraphFrames
 jar in the sandbox; SURVEY.md §7.1).
 
-Min-label propagation: every vertex repeatedly adopts the minimum label
-among itself and its neighbors until a fixpoint.  Convergence is
-O(component diameter) rounds; entity-surface clusters are small stars, so
-2-4 rounds in practice.  Each round:
+Algorithm: the ALTERNATING large-star/small-star method (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+web-scale-safe choice the round-1 docstring promised.  Each round:
 
-  msgs  = labels(src)->dst  ∪  labels(dst)->src  ∪  labels
-  labels' = min(label) group by id
+  large-star: every node u computes m = min(N(u) ∪ {u}) and re-points
+              its strictly LARGER neighbors at m — big hubs detach their
+              high neighborhoods in one step;
+  small-star: edges oriented child=max/parent=min; every child block
+              re-points its smaller neighbors (and itself) at the block
+              minimum — chains collapse toward the root.
 
-``localCheckpoint`` truncates the lineage each round (iterative-join DAGs
-otherwise grow exponentially); convergence is detected by the round's
-total label-change count from a single aggregate.  For web-scale giant
-components swap in the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) — same DataFrame
-skeleton, fewer rounds; the planted clusters here never need it.
+Convergence is O(log² n) rounds worst case (paths), O(log n) typical —
+vs O(component diameter) for plain min-label propagation, which a 100-TB
+crawl's giant component would break.  Each round is two hash
+aggregations + two joins over the edge list; ``localCheckpoint``
+truncates the iterative lineage; the round's change test is one
+aggregate (count + bit_xor fingerprint), no driver-side edge collection.
 
-Deterministic canonical-id election (north_rule): component label = the
-minimum 64-bit mention id, and the canonical *surface* = the
-lexicographically smallest surface in the component — both total orders,
-so re-runs at any parallelism elect identical canonicals.
+Deterministic canonical-id election (north_rule): the final star roots
+are the minimum 64-bit mention id of each component, and the canonical
+*surface* is the lexicographically smallest surface in the component —
+both total orders, so re-runs at any parallelism elect identical
+canonicals.
 """
 
 from __future__ import annotations
@@ -28,52 +32,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """(src,dst) -> edges re-pointing every larger neighbor of u at
+    min(N(u) ∪ {u})."""
+    nbrs = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", F.col("u")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Edges oriented child=max/parent=min; every child block re-points
+    its parents (and itself) at the block minimum."""
+    oriented = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionByName(mins.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)),
+    ).collect()[0]
+    return int(row[0]), int(row[1])
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "mention_id",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """(id) + (src, dst) -> (id, component) with component = min id."""
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint()
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-
-    for _ in range(max_iter):
-        via_src = e.join(labels, e.src == labels.id).select(
-            F.col("dst").alias("id"), "component"
-        )
-        via_dst = e.join(labels, e.dst == labels.id).select(
-            F.col("src").alias("id"), "component"
-        )
-        new_labels = (
-            labels.unionByName(via_src)
-            .unionByName(via_dst)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+    """(id) + (src, dst) -> (id, component) with component = min id of
+    the connected component (isolated vertices map to themselves).
+    ``stats``, if given, receives {'rounds': n} for scaling assertions."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    e = e.localCheckpoint()
+    fp = _fingerprint(e)
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_fp = _fingerprint(e)
+        if new_fp == fp:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
+        fp = new_fp
     else:
-        # never pass silently: min-label propagation needs O(diameter)
-        # rounds, so a chain longer than max_iter would otherwise return
-        # SPLIT components as if they were correct
+        # never pass silently: returning before the star fixpoint would
+        # yield SPLIT components with no error
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter or use a lower-round algorithm for "
-            "high-diameter graphs"
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds; raise max_iter"
         )
-    return labels
+    # fixpoint edges form disjoint stars: src=child -> dst=root
+    labels = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    ids = vertices.select(F.col(id_col).alias("id"))
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def canonical_mapping(mentions: DataFrame, components: DataFrame) -> DataFrame:

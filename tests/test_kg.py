@@ -58,15 +58,40 @@ def test_connected_components_matches_union_find(spark, n, edge_list):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
-    """A chain longer than max_iter rounds must fail loudly, never return
-    silently split components (r1 advice)."""
-    n = 12
+    """Hitting max_iter before the star fixpoint must fail loudly, never
+    return silently split components (r1 advice)."""
+    n = 64
     vertices = spark.createDataFrame([(i,) for i in range(n)], "mention_id long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(vertices, edges, max_iter=2)
+        connected_components(vertices, edges, max_iter=1)
+
+
+def test_connected_components_path_worst_case_low_rounds(spark):
+    """Giant-diameter worst case (north_rule: a 100-TB crawl WILL have a
+    giant component): 100 disjoint 1000-node paths = 10^5 nodes,
+    diameter 999.  Plain min-label propagation needs ~1000 rounds; the
+    alternating large/small-star algorithm must converge in O(log²)
+    rounds and match the union-find oracle exactly."""
+    paths, plen = 100, 1000
+    n = paths * plen
+    edge_list = [
+        (p * plen + i, p * plen + i + 1)
+        for p in range(paths)
+        for i in range(plen - 1)
+    ]
+    vertices = spark.range(n).withColumnRenamed("id", "mention_id")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    stats: dict = {}
+    got = connected_components(vertices, edges, max_iter=40, stats=stats)
+    assert stats["rounds"] <= 25, stats
+    # every node's component == its path's first node id
+    bad = got.filter(
+        F.col("component") != (F.col("id") - F.col("id") % plen)
+    ).count()
+    assert bad == 0
 
 
 # ---- blocking + canonicalization over planted clusters ------------------------
