@@ -13,6 +13,7 @@ LSH/SimHash variants validated in pytest against exact baselines).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,6 +36,13 @@ from driftmind_spark.kernels.textproc import (
 from driftmind_spark.operators import dedup as dd
 from driftmind_spark.operators import similarity as sim
 from driftmind_spark.operators import textstats as ts
+
+# expected-result parquet for queries SQL can't express (generated from
+# the pure Python kernels by scripts/make_oracle_fixtures.py at sf0.01)
+_FIXDIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "oracle", "sf0_01",
+)
 
 # ---------------------------------------------------------------------------
 # shared literals (single source of truth for Spark AND SQL sides)
@@ -1182,5 +1190,34 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
             from b a join b b on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
             where round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3
+        """,
+        # ---- fixture-backed oracles -------------------------------------
+        # SQL cannot express the byte-parity chunker, OpenIE grammar,
+        # MinHash/hyperplane LSH, or SimHash.  Their expected results are
+        # precomputed by the PURE PYTHON kernels — an independent,
+        # single-threaded reference implementation (no Spark) — by
+        # scripts/make_oracle_fixtures.py at sf0.01 and committed as
+        # parquet; the comparison certifies the distributed plumbing
+        # (Arrow batching, explode/join shapes, float promotion, ordering)
+        # reproduces the sequential reference exactly.
+        "chunk_documents": f"""
+            select doc_id, chunk_index, content
+            from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+        """,
+        "kg_triples": f"""
+            select url, subj, pred, obj
+            from read_parquet('{_FIXDIR}/kg_triples.parquet')
+        """,
+        "kg_nodes": f"""
+            select surface, canonical_surface
+            from read_parquet('{_FIXDIR}/kg_nodes.parquet')
+        """,
+        "ann_lsh": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{_FIXDIR}/ann_lsh.parquet')
+        """,
+        "simhash_pairs": f"""
+            select doc_a, doc_b, hamming
+            from read_parquet('{_FIXDIR}/simhash_pairs.parquet')
         """,
     }
