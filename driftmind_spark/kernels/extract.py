@@ -201,6 +201,32 @@ def is_file_size_valid(size_bytes: int, max_bytes: int = 3 * 1024 * 1024) -> boo
     return 0 < size_bytes <= max_bytes
 
 
+def extract_pdf_bytes(payload: bytes) -> tuple[bool, str, str]:
+    """Real PDF byte-stream extraction (Services/FileProcessingService.cs:
+    92-202): parse pages + /Info metadata from the bytes, then apply the
+    reference's page-join and image-only metadata fallback."""
+    from .fileformats import parse_pdf
+
+    try:
+        pages, metadata = parse_pdf(bytes(payload))
+    except Exception as exc:  # malformed bytes -> reference-style error
+        return False, "", f"Error processing PDF: {exc}"
+    return flatten_pdf(pages, metadata)
+
+
+def extract_docx_bytes(payload: bytes) -> tuple[bool, str, str]:
+    """Real DOCX byte-stream extraction (Services/FileProcessingService.cs:
+    204-271): unzip word/document.xml, read body paragraphs and tables,
+    then apply the reference's flattening (" | " table rows)."""
+    from .fileformats import parse_docx
+
+    try:
+        paragraphs, tables = parse_docx(bytes(payload))
+    except Exception as exc:
+        return False, "", f"Error processing Word document: {exc}"
+    return flatten_docx(paragraphs, tables)
+
+
 def extract_text(url: str, payload: bytes) -> tuple[bool, str, str]:
     """Extension-dispatched extraction, mirroring the reference's switch
     (Services/FileProcessingService.cs:47-54) with the web-page HTML path
@@ -208,9 +234,26 @@ def extract_text(url: str, payload: bytes) -> tuple[bool, str, str]:
     ext = get_extension(url)
     if ext in (".txt", ".md"):
         return extract_plain_text(payload)
+    if ext == ".pdf":
+        return extract_pdf_bytes(payload)
+    if ext == ".docx":
+        return extract_docx_bytes(payload)
     if ext in (".html", ".htm", ""):
         text = extract_main_text(payload)
         if is_null_or_whitespace(text):
             return False, "", "No main content found in page."
         return True, text, ""
     return False, "", f"Unsupported file type: {ext}"
+
+
+def extract_any(url: str, payload: bytes | str | None) -> str:
+    """The pipeline's extraction entry point: dispatch on the url's
+    extension (real PDF/DOCX/TXT byte parsing), defaulting to the HTML
+    boilerplate stripper; failures yield "" (empty pages chunk to
+    nothing downstream, the P7 guard)."""
+    ext = get_extension(url)
+    if ext in (".txt", ".md", ".pdf", ".docx"):
+        data = payload.encode("utf-8") if isinstance(payload, str) else payload
+        ok, text, _err = extract_text(url, data)
+        return text if ok else ""
+    return extract_main_text(payload)

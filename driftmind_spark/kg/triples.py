@@ -24,7 +24,7 @@ def _fused_triple_batches(use_text_column: bool):
     those appends were the kernel's dominant allocation source."""
     import pyarrow as pa
 
-    from ..kernels.extract import extract_main_text
+    from ..kernels.extract import extract_any
     from ..kernels.openie import extract_triples
 
     def kernel(batches):
@@ -33,7 +33,12 @@ def _fused_triple_batches(use_text_column: bool):
             if use_text_column:
                 texts = cols["text"].to_pylist()
             else:
-                texts = [extract_main_text(h) for h in cols["html"].to_pylist()]
+                texts = [
+                    extract_any(u, h)
+                    for u, h in zip(
+                        cols["url"].to_pylist(), cols["html"].to_pylist()
+                    )
+                ]
             langs = cols["lang"].to_pylist()
             src_row: list[int] = []
             subjs: list[str] = []

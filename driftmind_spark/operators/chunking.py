@@ -71,13 +71,18 @@ def extract_text_table(pages: DataFrame) -> DataFrame:
 def _extract_only_kernel():
     import pyarrow as pa
 
-    from ..kernels.extract import extract_main_text
+    from ..kernels.extract import extract_any
 
     def kernel(batches):
         for rb in batches:
             cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
             text = pa.array(
-                [extract_main_text(h) for h in cols["html"].to_pylist()],
+                [
+                    extract_any(u, h)
+                    for u, h in zip(
+                        cols["url"].to_pylist(), cols["html"].to_pylist()
+                    )
+                ],
                 pa.string(),
             )
             yield pa.RecordBatch.from_arrays(
@@ -106,7 +111,7 @@ def _fused_chunk_batches(chunk_size: int, overlap: int, use_text_column: bool,
     import numpy as np
     import pyarrow as pa
 
-    from ..kernels.extract import extract_main_text
+    from ..kernels.extract import extract_any
     from ..kernels.hashing import hashed_ngram_embeddings_batch
     from ..kernels.textproc import chunk_text, normalize_for_caching
 
@@ -116,7 +121,12 @@ def _fused_chunk_batches(chunk_size: int, overlap: int, use_text_column: bool,
             if use_text_column:
                 texts = cols["text"].to_pylist()
             else:
-                texts = [extract_main_text(h) for h in cols["html"].to_pylist()]
+                texts = [
+                    extract_any(u, h)
+                    for u, h in zip(
+                        cols["url"].to_pylist(), cols["html"].to_pylist()
+                    )
+                ]
             src_row: list[int] = []     # source page per chunk (for take)
             idxs: list[int] = []
             contents: list[str] = []

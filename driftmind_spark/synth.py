@@ -144,11 +144,23 @@ def _render_html(
 
 
 def generate_page(page_idx: int, seed: int = 42,
-                  min_sent: int = 2, max_sent: int = 8) -> dict:
-    """Generate one page + its expected triples, deterministically."""
+                  min_sent: int = 2, max_sent: int = 8,
+                  mixed_formats: bool = False) -> dict:
+    """Generate one page + its expected triples, deterministically.
+
+    ``mixed_formats=True`` makes a deterministic share of the corpus real
+    non-HTML payloads (the reference's upload formats,
+    ``Services/FileProcessingService.cs:47-54``): ~10% PDF bytes (incl.
+    an occasional image-only PDF exercising the metadata fallback), ~10%
+    DOCX bytes (incl. tables and the " | " row rule), ~10% plain .txt.
+    The ``text`` column stays the byte-exact expected extraction, so the
+    parity contract becomes ``extract_any(url, payload) == text``."""
     rng = random.Random((seed << 32) ^ page_idx)
     lang = "de" if rng.random() < 0.2 else "en"
-    url = f"https://host-{page_idx % 997}.example/{lang}/doc-{page_idx}.html"
+    fmt = "html"
+    if mixed_formats and page_idx >= len(EDGE_TEXTS):
+        fmt = {3: "txt", 7: "pdf", 9: "docx"}.get(page_idx % 10, "html")
+    url = f"https://host-{page_idx % 997}.example/{lang}/doc-{page_idx}.{fmt}"
     if page_idx < len(EDGE_TEXTS):
         text = EDGE_TEXTS[page_idx]
         triples: list[tuple[str, str, str, str, str]] = []
@@ -162,12 +174,58 @@ def generate_page(page_idx: int, seed: int = 42,
             paras.append(" ".join(sentences[i:i + k]))
             i += k
         text = "\n\n".join(paras)
-    html = _render_html(rng, url, lang, paras, page_idx)
+
+    if fmt == "pdf":
+        from .kernels.extract import flatten_pdf
+        from .kernels.fileformats import render_pdf
+
+        if page_idx % 100 == 97:
+            # image-only PDF: no text operators at all -> the extractor
+            # must fall back to the /Info metadata block
+            meta = {"Title": f"Scanned report {page_idx}",
+                    "Producer": "synth-scanner"}
+            payload = render_pdf([[]], meta, compress=page_idx % 2 == 0)
+            text = flatten_pdf([""], meta)[1]
+            triples = []
+        else:
+            meta = {"Title": f"doc {page_idx}", "Author": url.split("/")[2]}
+            # split paragraphs over two pages when possible: flatten_pdf
+            # joins page texts with "\n", and a paragraph break at the
+            # page boundary reproduces the "\n\n"-joined text exactly
+            lines = text.split("\n")
+            if len(paras) >= 2:
+                cut = lines.index("")  # first paragraph boundary
+                page_lines = [lines[: cut + 1], lines[cut + 1:]]
+            else:
+                page_lines = [lines]
+            payload = render_pdf(page_lines, meta, compress=page_idx % 2 == 0)
+    elif fmt == "docx":
+        from .kernels.fileformats import render_docx
+
+        tables: list[list[list[str]]] = []
+        if page_idx % 50 == 19:
+            tables = [[["spec", f"value {page_idx}"],
+                       ["status", "", "reviewed"]]]
+        payload = render_docx(paras, tables)
+        # flatten_docx output: paragraph lines, then " | "-joined rows
+        # (empty cells dropped), blank line after each table, final trim
+        lines = list(paras)
+        for table in tables:
+            for row in table:
+                cells = [c for c in row if c.strip()]
+                if cells:
+                    lines.append(" | ".join(cells))
+        text = "\n".join(lines)
+    elif fmt == "txt":
+        payload = text.encode("utf-8")
+    else:
+        payload = _render_html(rng, url, lang, paras, page_idx).encode("utf-8")
+
     warc_ts = _BASE_TS + _dt.timedelta(seconds=137 * page_idx)
     return {
         "url": url,
         "warc_ts": warc_ts,
-        "html": html.encode("utf-8"),
+        "html": payload,
         "text": text,
         "lang": lang,
         "triples": triples,
@@ -199,6 +257,7 @@ TRIPLES_SCHEMA = pa.schema(
 def generate_pages(
     n: int, seed: int = 42, start: int = 0,
     min_sent: int = 2, max_sent: int = 8,
+    mixed_formats: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate ``n`` pages -> (pages table, expected_triples table).
 
@@ -210,7 +269,7 @@ def generate_pages(
     tcols: dict[str, list] = {k: [] for k in ("url", "subj", "pred", "obj",
                                               "subj_canon", "obj_canon")}
     for i in range(start, start + n):
-        page = generate_page(i, seed, min_sent, max_sent)
+        page = generate_page(i, seed, min_sent, max_sent, mixed_formats)
         for k in cols:
             cols[k].append(page[k])
         for (subj, pred, obj, sc, oc) in page["triples"]:
@@ -227,7 +286,8 @@ def generate_pages(
 
 def write_corpus(out_dir: str, n: int, seed: int = 42,
                  batch_size: int = 100_000,
-                 min_sent: int = 2, max_sent: int = 8) -> None:
+                 min_sent: int = 2, max_sent: int = 8,
+                 mixed_formats: bool = False) -> None:
     """Write ``pages.parquet``, ``expected_triples.parquet`` and
     ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
     scan)."""
@@ -239,7 +299,8 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
     for start in range(0, n, batch_size):
         cnt = min(batch_size, n - start)
         pages, triples = generate_pages(cnt, seed=seed, start=start,
-                                        min_sent=min_sent, max_sent=max_sent)
+                                        min_sent=min_sent, max_sent=max_sent,
+                                        mixed_formats=mixed_formats)
         pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
         triples_writer.write_table(triples)
     pages_writer.close()
