@@ -9,8 +9,13 @@ the per-request network hops replaced by one declarative plan:
 
   chunks -> vector score (cosine vs broadcast query vec)
          -> union(original, expanded) -> max-score dedup (J3)
-         -> relevance blend (F5) -> history boosts (x1.8 / x1.3)
+         -> relevance blend (F5)
          -> threshold (P6) -> best-chunk-per-doc (A4) -> top-k (W1)
+         [+ history] -> enhanced second leg (top-20 rescore + x1.8/x1.3
+                        boosts, SearchHistoryService.cs:101-214)
+                     -> reference merge: enhanced first, unseen base
+                        docs fill remaining seats, final top-k
+                        (SearchOrchestrationService.cs:450-483)
          -> +-k adjacent chunks window (W2/J5)
 """
 
@@ -46,6 +51,93 @@ def _scored(chunks: DataFrame, query: str, dim: int, label: str) -> DataFrame:
     cv = F.transform("embedding", lambda x: x.cast("double"))
     return chunks.withColumn("vector_score", cosine_sim(cv, qv)).withColumn(
         "search_leg", F.lit(label)
+    )
+
+
+def _history_boosts(df: DataFrame, refs: list[str], kws: list[str]) -> DataFrame:
+    """SearchHistoryService.cs:155-171: x1.8 when the document id matches
+    a mined reference, else x1.3 on keyword overlap — applied to the
+    ``score`` column."""
+    if not refs and not kws:
+        return df
+    ref_hit = F.lit(False)
+    for r in refs:
+        # match on the filename stem: the reference compares document
+        # ids against mined FILE names both ways (ChatHistoryAnalyzer
+        # .cs:188-193); our document ids are urls, so the extension
+        # mined from prose ('.pdf') need not equal the url's ('.html')
+        stem = r.rsplit(".", 1)[0].lower()
+        ref_hit = ref_hit | F.lower("url").contains(stem)
+    kw_hit = F.lit(False)
+    for k in kws:
+        kw_hit = kw_hit | F.lower("content").contains(k.lower())
+    return df.withColumn(
+        "score",
+        F.when(ref_hit, F.col("score") * HISTORY_DOC_BOOST)
+        .when(kw_hit, F.col("score") * HISTORY_KW_BOOST)
+        .otherwise(F.col("score")),
+    )
+
+
+def enhanced_history_leg(
+    chunks: DataFrame,
+    query: str,
+    history: list[str],
+    embedding_dim: int = 256,
+    top: int = 20,
+    out_k: int = 15,
+) -> DataFrame:
+    """The history-driven SECOND search leg
+    (SearchHistoryService.RunEnhancedSearchAsync, SearchHistoryService.cs:
+    101-214): hybrid top-``top`` chunks for the same query, relevance
+    re-score, x1.8 boost for history-referenced documents / x1.3 for
+    history-keyword content, then the top ``out_k`` by boosted score.
+    No threshold and no per-document diversification — the merge step
+    dedups per document."""
+    refs = extract_document_references(history)
+    kws = extract_history_keywords(history)
+    scored = _scored(chunks, query, embedding_dim, "hist")
+    top_chunks = scored.orderBy(
+        F.desc("vector_score"), F.asc("url"), F.asc("chunk_index")
+    ).limit(top)
+    rel = make_relevance_udf(query)
+    rescored = top_chunks.withColumn("score", rel("content", "vector_score"))
+    boosted = _history_boosts(rescored, refs, kws)
+    return boosted.orderBy(
+        F.desc("score"), F.asc("url"), F.asc("chunk_index")
+    ).limit(out_k)
+
+
+_RESULT_COLS = ("url", "chunk_index", "content", "score", "vector_score")
+
+
+def _merge_enhanced(
+    base: DataFrame, enhanced: DataFrame, max_results: int
+) -> DataFrame:
+    """MergeSearchResults (SearchOrchestrationService.cs:450-483):
+    enhanced results enter first (deduped to their best chunk per
+    document), base documents not already included fill the remaining
+    seats in score order, and the final list is the top ``max_results``
+    by score.  The enhanced side is <= 15 rows, so the seat count is a
+    driver-side scalar, not a data-dependent collect."""
+    w_doc = Window.partitionBy("url").orderBy(F.desc("score"), F.asc("chunk_index"))
+    enh_best = (
+        enhanced.withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") == 1)
+        .select(*_RESULT_COLS)
+    )
+    n_enh = enh_best.count()  # bounded by out_k=15
+    seats = max(0, max_results - n_enh)
+    base_kept = (
+        base.select(*_RESULT_COLS)
+        .join(enh_best.select("url"), "url", "left_anti")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(seats)
+    )
+    return (
+        enh_best.unionByName(base_kept.select(*_RESULT_COLS))
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(max_results)
     )
 
 
@@ -90,32 +182,12 @@ def search(
         F.desc("vector_score"), F.asc("url"), F.asc("chunk_index")
     ).limit(cand_k)
 
-    # F5 exact-port re-scoring 0.7*vector + 0.3*text
+    # F5 exact-port re-scoring 0.7*vector + 0.3*text.  The BASE leg is
+    # boost-free — the reference applies history boosts only inside the
+    # enhanced second leg (SearchOrchestrationService.cs:137-175 computes
+    # plain relevance; boosts live in SearchHistoryService.cs:155-171).
     rel = make_relevance_udf(query)
     rescored = candidates.withColumn("score", rel("content", "vector_score"))
-
-    # history boosts (SearchHistoryService.cs:155-171): x1.8 when the
-    # document id matches a mined reference, else x1.3 on keyword overlap
-    refs = extract_document_references(history)
-    kws = extract_history_keywords(history)
-    if refs or kws:
-        ref_hit = F.lit(False)
-        for r in refs:
-            # match on the filename stem: the reference compares document
-            # ids against mined FILE names both ways (ChatHistoryAnalyzer
-            # .cs:188-193); our document ids are urls, so the extension
-            # mined from prose ('.pdf') need not equal the url's ('.html')
-            stem = r.rsplit(".", 1)[0].lower()
-            ref_hit = ref_hit | F.lower("url").contains(stem)
-        kw_hit = F.lit(False)
-        for k in kws:
-            kw_hit = kw_hit | F.lower("content").contains(k.lower())
-        rescored = rescored.withColumn(
-            "score",
-            F.when(ref_hit, F.col("score") * HISTORY_DOC_BOOST)
-            .when(kw_hit, F.col("score") * HISTORY_KW_BOOST)
-            .otherwise(F.col("score")),
-        )
 
     # P6 threshold -> A4 best chunk per document -> W1 global top-k
     filtered = rescored.filter(F.col("score") >= min_score)
@@ -126,7 +198,17 @@ def search(
         .drop("_rn")
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(max_results)
-    )
+    ).select(*_RESULT_COLS)
+
+    # history-enhanced SECOND leg + reference merge (the r1 gap): the
+    # enhanced leg re-searches with the same (expanded) query, boosts by
+    # history evidence, and its results take priority over the base leg
+    if history:
+        enh = enhanced_history_leg(
+            chunks, expanded if use_expansion else query, history,
+            embedding_dim,
+        )
+        best = _merge_enhanced(best, enh, max_results)
 
     # W2/J5 adjacent context: the +-k chunks around each hit, in order
     # (ChatService.cs:324-419's context assembly as a range join)

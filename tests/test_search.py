@@ -99,3 +99,41 @@ def test_search_expansion_changes_candidates(spark, chunks):
     without = search(chunks, "database storage", max_results=5,
                      embedding_dim=64, use_expansion=False)
     assert with_exp.count() >= 0 and without.count() >= 0
+
+
+def test_enhanced_second_leg_merge_matches_reference_loop(spark, chunks):
+    """The history-enhanced second leg + merge (SearchOrchestrationService
+    .cs:450-483): Spark's merged output must equal a pure-Python port of
+    the C# merge loop applied to the two legs' rows."""
+    from driftmind_spark.kernels.textproc import expand_query
+    from driftmind_spark.operators.search import enhanced_history_leg
+
+    query = "Acme Corp acquired Beta Systems"
+    history = ["Earlier we looked at doc-42.pdf and shuffle performance."]
+    max_results = 6
+
+    base = search(chunks, query, max_results=max_results,
+                  embedding_dim=64).collect()
+    enh = enhanced_history_leg(
+        chunks, expand_query(query), history, embedding_dim=64
+    ).collect()
+
+    # pure-Python port of MergeSearchResults: enhanced first (dedup per
+    # document), unseen base docs fill seats, final top max_results
+    seen, combined = set(), []
+    for r in sorted(enh, key=lambda r: (-r["score"], r["url"], r["chunk_index"])):
+        if r["url"] not in seen:
+            combined.append(r)
+            seen.add(r["url"])
+    for r in sorted(base, key=lambda r: (-r["score"], r["url"])):
+        if r["url"] not in seen and len(combined) < max_results:
+            combined.append(r)
+            seen.add(r["url"])
+    expected = sorted(combined, key=lambda r: (-r["score"], r["url"]))[:max_results]
+
+    got = search(chunks, query, max_results=max_results, embedding_dim=64,
+                 history=history).collect()
+    got_keys = [(r["url"], r["chunk_index"], round(r["score"], 6)) for r in got]
+    exp_keys = [(r["url"], r["chunk_index"], round(r["score"], 6))
+                for r in expected]
+    assert got_keys == exp_keys
