@@ -44,6 +44,22 @@ _FIXDIR = os.path.join(
     "tests", "fixtures", "oracle", "sf0_01",
 )
 
+
+def _truncate_sql(col: str, n: int = 150) -> str:
+    """DuckDB mirror of functions.text.truncate_at_word (T6): cut at the
+    last space past 0.8*n, append '...'; short strings unchanged."""
+    cut = f"substr({col}, 1, {n})"
+    last_space = f"({n} - strpos(reverse({cut}), ' ') + 1)"
+    return f"""
+        case when length({col}) <= {n} then coalesce({col}, '')
+             else (
+                 case when strpos(reverse({cut}), ' ') > 0
+                       and {last_space} > {n} * 0.8
+                      then substr({col}, 1, {last_space} - 1)
+                      else {cut} end
+             ) || '...' end
+    """.strip()
+
 # ---------------------------------------------------------------------------
 # shared literals (single source of truth for Spark AND SQL sides)
 # ---------------------------------------------------------------------------
@@ -525,6 +541,36 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_catalog_top3(spark, sf_dir):
+    """Document-catalog top-3 chunk samples (DocumentManagementService
+    .cs:68-99): first three chunks per document by index, word-boundary
+    truncated, whitespace-only dropped — exploded to one row per sample
+    so the oracle hashes scalar columns.  The DuckDB side chunks via the
+    pure-kernel fixture parquet and applies the same truncate SQL."""
+    from driftmind_spark.functions.text import truncate_at_word
+    from driftmind_spark.functions.udfs import make_chunk_udf
+
+    d = _t(spark, sf_dir, "documents")
+    chunk_udf = make_chunk_udf(300, 20)
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_udf("text")).alias("chunk_index", "content")
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy("chunk_index")
+    return (
+        chunks.withColumn("chunk_count", F.count("*").over(w_cnt))
+        .withColumn("sample_rank", F.row_number().over(w_rank))
+        .filter(F.col("sample_rank") <= 3)
+        .select(
+            "doc_id",
+            "chunk_count",
+            "sample_rank",
+            truncate_at_word(F.col("content"), 150).alias("snippet"),
+        )
+        .filter(F.trim("snippet") != "")
+    )
+
+
 def _synth_pages_df(spark, n=400):
     from driftmind_spark.synth import generate_pages
 
@@ -575,7 +621,16 @@ def q_simhash_pairs(spark, sf_dir):
 def q_contains_join(spark, sf_dir):
     """J2 theta/LIKE containment join (the reference's filename-substring
     matching, SearchOrchestrationService.cs:529-535) — planned as a
-    broadcast nested-loop join."""
+    broadcast nested-loop join.
+
+    DEMO SCALE NOTE: this sf-probe broadcasts a whole (small) table side
+    to exercise the BNLJ shape.  The reference's real J2 input is a
+    request-scoped filename LIST (a handful of mined history references,
+    ChatHistoryAnalyzer.cs:150-199) — always broadcast-sized by
+    construction.  Reusing this helper on an unbounded table side would
+    need the probe-side bounded first (e.g. `.limit()` or a pre-filter);
+    operators/search.py's history path passes literal lists, never a
+    table."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
@@ -711,7 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
-        # byte-parity / KG (rows-only)
+        # byte-parity / KG (fixture-backed oracles)
+        "catalog_top3": q_catalog_top3,
         "chunk_documents": q_chunk_documents,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
@@ -1078,17 +1134,8 @@ def oracle_sql() -> dict[str, str]:
               on a.band_idx = b.band_idx and a.band_hash = b.band_hash
              and a.doc_id < b.doc_id
         """,
-        "truncate": """
-            select doc_id,
-                   case when length(text) <= 150 then coalesce(text, '')
-                        else (
-                            case when strpos(reverse(substr(text, 1, 150)), ' ') > 0
-                                  and (150 - strpos(reverse(substr(text, 1, 150)), ' ') + 1)
-                                      > 150 * 0.8
-                                 then substr(text, 1,
-                                      150 - strpos(reverse(substr(text, 1, 150)), ' '))
-                                 else substr(text, 1, 150) end
-                        ) || '...' end as sample
+        "truncate": f"""
+            select doc_id, {_truncate_sql('text')} as sample
             from documents
         """,
         "mime": """
@@ -1203,6 +1250,19 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": f"""
             select doc_id, chunk_index, content
             from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+        """,
+        "catalog_top3": f"""
+            with r as (
+                select doc_id, chunk_index, content,
+                       count(*) over (partition by doc_id) as chunk_count,
+                       row_number() over (partition by doc_id
+                                          order by chunk_index) as sample_rank
+                from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+            )
+            select doc_id, chunk_count, sample_rank,
+                   {_truncate_sql('content')} as snippet
+            from r
+            where sample_rank <= 3 and trim({_truncate_sql('content')}) != ''
         """,
         "kg_triples": f"""
             select url, subj, pred, obj

@@ -60,12 +60,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str = "source",
+    max_gram_df: int = 1000,
 ) -> DataFrame:
     """Word-n-gram Jaccard near-dup pairs within blocks.
 
     Blocking on ``block_col`` keeps the pair space linear per block; at
     web scale the block key is an LSH band or URL host.  Word n-grams are
-    built with sequence+transform (pure codegen)."""
+    built with sequence+transform (pure codegen).
+
+    ``max_gram_df`` caps the document frequency of a gram WITHIN its
+    block: the postings join costs O(Σ_g df_g²), so one boilerplate gram
+    shared by every document ("all rights reserved") alone turns a block
+    into O(n²) pairs.  Grams above the cap carry no discriminative
+    signal and are dropped from the SHARED count (the |A|/|B| sizes stay
+    exact, so capped jaccard only under-counts pairs held together by
+    ubiquitous grams).  The cap is mirrored in the DuckDB oracle, and
+    the dropped-gram count is observable via ``hot_gram_stats``."""
     toks = F.filter(F.split(NORM(F.col(text_col)), " "), lambda t: t != "")
     grams = F.when(
         F.size(toks) >= n, F.array_distinct(_word_ngrams_col(toks, n))
@@ -85,6 +95,13 @@ def ngram_jaccard_pairs(
         "block", "doc_id", F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
     )
+    if max_gram_df is not None:
+        dfs = postings.groupBy("block", "gram").agg(
+            F.count("*").alias("gram_df")
+        )
+        postings = postings.join(
+            dfs.filter(F.col("gram_df") <= max_gram_df), ["block", "gram"]
+        ).drop("gram_df")
     a, b = postings.alias("a"), postings.alias("b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
@@ -102,6 +119,29 @@ def ngram_jaccard_pairs(
 
 
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def hot_gram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    block_col: str = "source",
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Observability for the gram-df cap (no silent truncation): the
+    grams ``ngram_jaccard_pairs`` dropped, with their block and df."""
+    toks = F.filter(F.split(NORM(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n, F.array_distinct(_word_ngrams_col(toks, n))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    postings = docs.select(
+        F.col(block_col).alias("block"), F.explode(grams).alias("gram")
+    )
+    return (
+        postings.groupBy("block", "gram")
+        .agg(F.count("*").alias("gram_df"))
+        .filter(F.col("gram_df") > max_gram_df)
+    )
 
 
 def minhash_params(num_perm: int = 16, seed: int = 7) -> list[tuple[int, int]]:

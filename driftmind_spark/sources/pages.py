@@ -33,24 +33,31 @@ def delete_documents(chunks: DataFrame, urls: DataFrame) -> DataFrame:
     return chunks.join(F.broadcast(urls.select("url")), "url", "left_anti")
 
 
-def document_catalog(chunks: DataFrame, sample_len: int = 150) -> DataFrame:
+def document_catalog(
+    chunks: DataFrame, sample_len: int = 150, n_samples: int = 3
+) -> DataFrame:
     """GET /documents in one pass (SURVEY.md §3.3): per-url chunk count,
-    last-updated, and a word-boundary-truncated content sample from chunk
-    0 — replacing the reference's 3-queries-per-document fan-out
-    (``Services/DocumentManagementService.cs:29-103``)."""
+    last-updated, and the reference's TOP-3 chunk samples
+    (``Services/DocumentManagementService.cs:68-99``: first three chunks
+    by index, word-boundary-truncated to 150 chars, whitespace-only
+    entries dropped) — replacing the 3-queries-per-document fan-out with
+    one aggregation."""
     from ..functions.text import truncate_at_word
 
-    first_chunk = F.min_by("content", "chunk_index")
-    return (
-        chunks.groupBy("url")
-        .agg(
-            F.count("*").alias("chunk_count"),
-            F.max("warc_ts").alias("last_updated"),
-            F.first("lang").alias("lang"),
-            first_chunk.alias("first_content"),
-        )
-        .withColumn("sample", truncate_at_word(F.col("first_content"), sample_len))
-        .drop("first_content")
+    top_chunks = F.slice(
+        F.array_sort(F.collect_list(F.struct("chunk_index", "content"))),
+        1,
+        n_samples,
+    )
+    samples = F.filter(
+        F.transform(top_chunks, lambda s: truncate_at_word(s.content, sample_len)),
+        lambda x: F.trim(x) != "",
+    )
+    return chunks.groupBy("url").agg(
+        F.count("*").alias("chunk_count"),
+        F.max("warc_ts").alias("last_updated"),
+        F.first("lang").alias("lang"),
+        samples.alias("samples"),
     )
 
 

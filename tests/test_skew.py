@@ -78,3 +78,34 @@ def test_partial_aggregation_absorbs_mention_skew(spark, triples):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_count" in plan or "partial_" in plan
+
+
+def test_ngram_jaccard_gram_df_cap_bounds_hot_gram(spark):
+    """One ubiquitous boilerplate gram must not turn a block into O(n^2)
+    pairs (r1 verdict item): with the df cap it contributes no postings
+    pairs, while genuinely similar docs still match through their rare
+    grams; the dropped gram is observable via hot_gram_stats."""
+    from driftmind_spark.operators.dedup import hot_gram_stats, ngram_jaccard_pairs
+
+    n = 120
+    hot = "all rights reserved worldwide"  # 4 tokens -> shared 3-grams
+    rows = [(i, f"{hot} unique token{i} filler{i} extra{i}", "blk")
+            for i in range(n)]
+    # two planted near-duplicates sharing rare grams
+    rows.append((900, "alpha beta gamma delta epsilon zeta", "blk"))
+    rows.append((901, "alpha beta gamma delta epsilon eta", "blk"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, max_gram_df=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # the 120 boilerplate docs share ONLY capped grams -> no pairs
+    assert got == {(900, 901)}
+    # observability: the hot grams are reported, not silently dropped
+    hot_grams = hot_gram_stats(docs, max_gram_df=50).collect()
+    assert any(r["gram_df"] >= 120 for r in hot_grams)
+
+    # uncapped for comparison: the shared boilerplate alone reaches the
+    # threshold, so the exact variant emits all C(120,2)=7140 pairs —
+    # exactly the O(n^2) blowup the cap exists to stop
+    exact = ngram_jaccard_pairs(docs, threshold=0.2, max_gram_df=None)
+    assert exact.count() == 120 * 119 // 2 + 1

@@ -38,15 +38,20 @@ def test_document_catalog_one_pass(spark, chunks):
     assert cat.count() == chunks.select("url").distinct().count()
     row = cat.first()
     assert row["chunk_count"] >= 1
-    assert row["sample"] is not None and len(row["sample"]) <= 153
-    # first_content came from chunk 0 (min_by chunk_index)
+    # top-3 samples (DocumentManagementService.cs:68-99): first chunks by
+    # index, truncated to <= 150+3 chars, no whitespace-only entries
+    assert 1 <= len(row["samples"]) <= 3
+    assert all(s.strip() and len(s) <= 153 for s in row["samples"])
     some = cat.limit(3).collect()
     for r in some:
-        c0 = (
-            chunks.filter((F.col("url") == r["url"]) & (F.col("chunk_index") == 0))
-            .select("content").first()["content"]
+        ordered = (
+            chunks.filter(F.col("url") == r["url"])
+            .orderBy("chunk_index").select("content")
+            .limit(3).collect()
         )
-        assert r["sample"].rstrip(".") in c0 or c0.startswith(r["sample"][:50])
+        assert len(r["samples"]) == len(ordered)
+        for sample, chunk in zip(r["samples"], ordered):
+            assert chunk["content"].startswith(sample.removesuffix("..."))
 
 
 def test_document_exists(spark, chunks):
