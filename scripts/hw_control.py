@@ -50,6 +50,12 @@ def _work(span: tuple[int, int]) -> int:
 
 
 def _run(workers: int, n_docs: int) -> float:
+    # pin to the first `workers` cpus (children inherit): mirrors the
+    # executor-scaling legs, where each executor owns its own cpu set
+    try:
+        os.sched_setaffinity(0, set(range(workers)))
+    except (OSError, AttributeError):
+        pass
     per = n_docs // workers
     spans = [(i * per, (i + 1) * per) for i in range(workers)]
     with Pool(workers) as pool:
@@ -63,17 +69,18 @@ def _run(workers: int, n_docs: int) -> float:
     return n_docs / best
 
 
-def main(corpus_parquet: str, n_docs: int, pairs=((2, 8), (8, 32))) -> dict:
+def main(corpus_parquet: str, n_docs: int,
+         levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     import pyarrow.parquet as pq
 
     global _HTMLS
     table = pq.read_table(corpus_parquet, columns=["html"])
     _HTMLS = table.column("html").to_pylist()[:n_docs]
     n_docs = len(_HTMLS)
-    levels = sorted({w for p in pairs for w in p})
-    rates = {w: round(_run(w, n_docs), 1) for w in levels}
+    rates = {w: round(_run(w, n_docs), 1) for w in sorted(set(levels))}
     out = {"workers": {str(w): r for w, r in rates.items()}, "docs": n_docs}
-    for lo, hi in pairs:
+    lv = sorted(rates)
+    for lo, hi in zip(lv, lv[1:]):
         out[f"eff_{lo}_to_{hi}"] = round(rates[hi] / rates[lo] / (hi / lo), 3)
     return out
 
@@ -83,4 +90,7 @@ if __name__ == "__main__":
         "/tmp/driftmind_bench_corpus_100000_20_60/pages.parquet"
     )
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 48000
-    print(json.dumps(main(corpus, n)))
+    levels = tuple(
+        int(x) for x in (sys.argv[3].split(",") if len(sys.argv) > 3 else (2, 8, 32))
+    )
+    print(json.dumps(main(corpus, n, levels)))
