@@ -13,6 +13,9 @@ Run modes:
   the batch pipeline writes (shared schema, shared lineage discipline).
 - ``stream_host_counts``: watermarked sliding-window aggregation
   (1-hour windows on ``warc_ts``, 30-minute late-data allowance).
+- ``stateful.stream_new_versions``: the custom
+  ``applyInPandasWithState`` operator (incremental re-crawl gate with
+  per-url version state + event-time TTL).
 
 Tests drive both with ``trigger(availableNow=True)`` so they terminate
 deterministically on a frozen corpus.

@@ -145,3 +145,69 @@ def test_sample_frames_shape(spark, media_df):
     m2 = pdf[pdf.media_id == "m2"]
     assert list(m2["frame_index"]) == [0, 1]  # 3004 bytes -> 2 frames
     assert len(bytes(m2.iloc[0]["frame"])) == 1024
+
+
+def test_stream_new_versions_stateful_gate(spark, tmp_path_factory):
+    """applyInPandasWithState custom operator: per-url persistent state
+    emits only strictly-newer versions with increasing version numbers;
+    late (older) re-crawls are dropped; state survives across triggers
+    via the checkpoint."""
+    import datetime as dt
+
+    from driftmind_spark.streaming.stateful import (
+        new_versions_batch,
+        stream_new_versions,
+    )
+    from driftmind_spark.streaming.stream import read_pages_stream
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def rows(*specs):
+        return [
+            (u, t0 + dt.timedelta(hours=h), b"<html/>", "x", "en")
+            for (u, h) in specs
+        ]
+
+    src = str(tmp_path_factory.mktemp("ver_pages"))
+    out = str(tmp_path_factory.mktemp("ver_out"))
+    ckpt = str(tmp_path_factory.mktemp("ver_ckpt"))
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    # file 1: initial crawls
+    spark.createDataFrame(
+        rows(("u1", 0), ("u2", 0), ("u1", 2)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_new_versions(read_pages_stream(spark, src, 2), out, ckpt)
+    q.awaitTermination(300)
+
+    got1 = {(r["url"], r["version"]): r["warc_ts"]
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {
+        ("u1", 1): t0, ("u1", 2): t0 + dt.timedelta(hours=2),
+        ("u2", 1): t0,
+    }
+
+    # file 2 (second trigger, state restored from checkpoint):
+    # u1 re-crawl NEWER (-> version 3); u1 STALE re-crawl at hour 1.5 —
+    # above the watermark (hour 1 after trigger 1) so it reaches the
+    # operator, but older than the state's hour-2 latest -> gated out;
+    # u3 first seen at hour 6 (inside the watermark horizon)
+    spark.createDataFrame(
+        rows(("u1", 5), ("u1", 1.5), ("u3", 6)), schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = stream_new_versions(read_pages_stream(spark, src, 2), out, ckpt)
+    q.awaitTermination(300)
+
+    got2 = {(r["url"], r["version"]): r["warc_ts"]
+            for r in spark.read.parquet(out).collect()}
+    assert ("u1", 3) in got2 and got2[("u1", 3)] == t0 + dt.timedelta(hours=5)
+    assert got2[("u3", 1)] == t0 + dt.timedelta(hours=6)
+    # the stale hour-1 re-crawl was gated out: u1 has exactly 3 versions
+    assert sum(1 for (u, _v) in got2 if u == "u1") == 3
+
+    # batch analog agrees on the monotone subset (it cannot know about
+    # arrival order, so the late row WOULD count there — that asymmetry
+    # is the point of the stateful operator)
+    batch = new_versions_batch(spark.read.parquet(src))
+    assert batch.filter("url = 'u3'").count() == 1
+    assert batch.filter("url = 'u1'").count() == 4  # includes the late row
