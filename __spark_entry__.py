@@ -571,6 +571,82 @@ def q_catalog_top3(spark, sf_dir):
     )
 
 
+_LEGACY_EXTS = (".txt", ".md", ".pdf", ".docx", ".bin")
+
+
+def _legacy_chunks_df(spark, sf_dir):
+    """Deterministic pre-migration chunk table for the S13/S14 jobs:
+    chunks from the byte-parity chunker with metadata scattered the way
+    legacy indexes had it — on the FIRST chunk for even doc_ids, on the
+    LAST chunk for odd ones, nowhere for doc_id % 7 == 3 — with a
+    deliberately wrong content_type everywhere."""
+    from driftmind_spark.functions.udfs import make_chunk_udf
+
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", "n_chars",
+        F.posexplode(make_chunk_udf(300, 20)("text")).alias(
+            "chunk_index", "content"
+        ),
+    )
+    w = Window.partitionBy("doc_id")
+    bearer = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+        F.max("chunk_index").over(w)
+    )
+    fname = F.concat(
+        F.lit("doc_"), F.col("doc_id").cast("string"),
+        F.element_at(
+            F.array(*[F.lit(e) for e in _LEGACY_EXTS]),
+            (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+        ),
+    )
+    is_bearer = (F.col("chunk_index") == bearer) & (
+        F.pmod(F.col("doc_id"), F.lit(7)) != 3
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "content",
+        F.when(is_bearer, fname).alias("original_file_name"),
+        F.when(is_bearer, F.lit("application/octet-stream")).alias(
+            "content_type"
+        ),
+        F.when(is_bearer, F.col("n_chars")).alias("file_size_bytes"),
+    )
+
+
+_MIG_COLS = ("doc_id", "chunk_index", "original_file_name", "content_type",
+             "file_size_bytes")
+
+
+def q_s13_migration(spark, sf_dir):
+    """S13 metadata-consolidation JOB (DataMigrationService.cs:28-160)
+    run on a scattered legacy table; the oracle is the closed-form
+    expected outcome (rank-1 chunk carries the doc's metadata, the rest
+    nulled)."""
+    from driftmind_spark.operators.migrations import migrate_metadata_to_chunk0
+
+    out = migrate_metadata_to_chunk0(
+        _legacy_chunks_df(spark, sf_dir), doc_col="doc_id"
+    )
+    return out.select(*_MIG_COLS)
+
+
+def q_s14_migration(spark, sf_dir):
+    """S14 content-type fix JOB (DataMigrationService.cs:165-227) on the
+    S13-migrated table: rank-1 chunks with a filename get the extension-
+    mapped MIME type (unmapped .bin keeps the existing value)."""
+    from driftmind_spark.operators.migrations import (
+        fix_content_types,
+        migrate_metadata_to_chunk0,
+    )
+
+    migrated = migrate_metadata_to_chunk0(
+        _legacy_chunks_df(spark, sf_dir), doc_col="doc_id"
+    )
+    return fix_content_types(migrated, doc_col="doc_id").select(*_MIG_COLS)
+
+
 def _synth_pages_df(spark, n=400):
     from driftmind_spark.synth import generate_pages
 
@@ -766,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        # migrations (runnable jobs, closed-form oracles)
+        "s13_migration": q_s13_migration,
+        "s14_migration": q_s14_migration,
         # byte-parity / KG (fixture-backed oracles)
         "catalog_top3": q_catalog_top3,
         "chunk_documents": q_chunk_documents,
@@ -1250,6 +1329,59 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": f"""
             select doc_id, chunk_index, content
             from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+        """,
+        "s13_migration": f"""
+            with c as (
+                select doc_id, chunk_index
+                from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+            ),
+            r as (
+                select c.doc_id, c.chunk_index, d.n_chars,
+                       row_number() over (partition by c.doc_id
+                                          order by c.chunk_index) as rn
+                from c join documents d using (doc_id)
+            )
+            select doc_id, chunk_index,
+                   case when rn = 1 and doc_id % 7 != 3
+                        then 'doc_' || doc_id ||
+                             (['.txt','.md','.pdf','.docx','.bin'])
+                                 [(doc_id % 5 + 1)::int]
+                   end as original_file_name,
+                   case when rn = 1 and doc_id % 7 != 3
+                        then 'application/octet-stream'
+                   end as content_type,
+                   case when rn = 1 and doc_id % 7 != 3 then n_chars
+                   end as file_size_bytes
+            from r
+        """,
+        "s14_migration": f"""
+            with c as (
+                select doc_id, chunk_index
+                from read_parquet('{_FIXDIR}/chunk_documents.parquet')
+            ),
+            r as (
+                select c.doc_id, c.chunk_index, d.n_chars,
+                       row_number() over (partition by c.doc_id
+                                          order by c.chunk_index) as rn
+                from c join documents d using (doc_id)
+            )
+            select doc_id, chunk_index,
+                   case when rn = 1 and doc_id % 7 != 3
+                        then 'doc_' || doc_id ||
+                             (['.txt','.md','.pdf','.docx','.bin'])
+                                 [(doc_id % 5 + 1)::int]
+                   end as original_file_name,
+                   case when rn = 1 and doc_id % 7 != 3
+                        then case (doc_id % 5 + 1)::int
+                             when 1 then 'text/plain'
+                             when 2 then 'text/markdown'
+                             when 3 then 'application/pdf'
+                             when 4 then 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+                             else 'application/octet-stream' end
+                   end as content_type,
+                   case when rn = 1 and doc_id % 7 != 3 then n_chars
+                   end as file_size_bytes
+            from r
         """,
         "catalog_top3": f"""
             with r as (

@@ -96,12 +96,17 @@ def ngram_jaccard_pairs(
         F.explode("grams").alias("gram"),
     )
     if max_gram_df is not None:
-        dfs = postings.groupBy("block", "gram").agg(
-            F.count("*").alias("gram_df")
+        # anti-join against the HOT grams only: the over-cap list is tiny
+        # by construction (few ubiquitous boilerplate grams), so it
+        # broadcasts — joining postings against the full below-cap gram
+        # dictionary would shuffle the whole postings stream instead
+        hot = (
+            postings.groupBy("block", "gram")
+            .agg(F.count("*").alias("gram_df"))
+            .filter(F.col("gram_df") > max_gram_df)
+            .select("block", "gram")
         )
-        postings = postings.join(
-            dfs.filter(F.col("gram_df") <= max_gram_df), ["block", "gram"]
-        ).drop("gram_df")
+        postings = postings.join(F.broadcast(hot), ["block", "gram"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
