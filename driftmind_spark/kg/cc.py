@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(src,dst) -> edges re-pointing every larger neighbor of u at
-    min(N(u) ∪ {u})."""
+    min(N(u) ∪ {u}).  No dedup here: duplicates don't affect the min
+    aggregations downstream, and the following small-star pass ends in a
+    distinct — one fewer shuffle per round."""
     nbrs = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
@@ -46,7 +48,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -80,11 +81,52 @@ def connected_components(
     id_col: str = "mention_id",
     max_iter: int = 50,
     stats: dict | None = None,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(id) + (src, dst) -> (id, component) with component = min id of
     the connected component (isolated vertices map to themselves).
-    ``stats``, if given, receives {'rounds': n} for scaling assertions."""
+    ``stats``, if given, receives {'rounds': n} for scaling assertions.
+
+    Size-adaptive (the broadcast-threshold philosophy applied to CC):
+    an edge list at or under ``small_graph_threshold`` is collected and
+    solved by driver-side union-find — the entity-link graph is
+    dictionary-sized under Zipf (|distinct surfaces|², heavily pruned by
+    LSH + scoring), and the alternating algorithm's ~5 rounds × several
+    Spark jobs of fixed overhead dwarf milliseconds of union-find there.
+    Above the threshold (a true web-scale crawl graph) the distributed
+    alternating large/small-star path runs; both elect component = min
+    id, so the output is identical either way (property-tested)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if small_graph_threshold and e.limit(small_graph_threshold + 1).count() \
+            <= small_graph_threshold:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(k, find(k)) for k in parent]
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["mode"] = "driver_union_find"
+        spark = vertices.sparkSession
+        label_df = spark.createDataFrame(labels, "id long, component long") \
+            if labels else spark.createDataFrame([], "id long, component long")
+        ids = vertices.select(F.col(id_col).alias("id"))
+        return ids.join(F.broadcast(label_df), "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    if stats is not None:
+        stats["mode"] = "alternating_star"
     e = e.localCheckpoint()
     fp = _fingerprint(e)
     for rounds in range(1, max_iter + 1):

@@ -36,6 +36,16 @@ def main() -> None:
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .getOrCreate()
     )
+    # size shuffles to the actual cluster, not the 200-partition default:
+    # the linking/CC stages run several small shuffles, and 200 mostly
+    # empty tasks per shuffle cost ~6x wall on small cores (measured
+    # 17s -> 102s for the nodes stage at local[4]); runtime-settable, so
+    # deployments can still override via --conf
+    if not spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(4 * spark.sparkContext.defaultParallelism),
+        )
     from driftmind_spark.kg.pipeline import run
 
     metrics = run(spark, corpus_dir, out_dir, run_id=run_id)

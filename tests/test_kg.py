@@ -50,11 +50,19 @@ def test_connected_components_matches_union_find(spark, n, edge_list):
     )
     if not edge_list:
         edges = edges.filter(F.col("src") >= 0)
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(vertices, edges, max_iter=30).collect()
-    }
-    assert got == _union_find_oracle(n, edge_list)
+    expected = _union_find_oracle(n, edge_list)
+    # both paths must agree with the oracle: the driver union-find fast
+    # path (default threshold) and the distributed alternating
+    # large/small-star path (threshold 0 forces it)
+    for threshold in (200_000, 0):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                vertices, edges, max_iter=30,
+                small_graph_threshold=threshold,
+            ).collect()
+        }
+        assert got == expected, f"threshold={threshold}"
 
 
 def test_connected_components_raises_on_non_convergence(spark):
@@ -66,7 +74,8 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(vertices, edges, max_iter=1)
+        connected_components(vertices, edges, max_iter=1,
+                             small_graph_threshold=0)
 
 
 def test_connected_components_path_worst_case_low_rounds(spark):
@@ -85,7 +94,9 @@ def test_connected_components_path_worst_case_low_rounds(spark):
     vertices = spark.range(n).withColumnRenamed("id", "mention_id")
     edges = spark.createDataFrame(edge_list, "src long, dst long")
     stats: dict = {}
-    got = connected_components(vertices, edges, max_iter=40, stats=stats)
+    got = connected_components(vertices, edges, max_iter=40, stats=stats,
+                               small_graph_threshold=0)
+    assert stats["mode"] == "alternating_star"
     assert stats["rounds"] <= 25, stats
     # every node's component == its path's first node id
     bad = got.filter(
