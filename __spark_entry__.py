@@ -524,6 +524,14 @@ def q_embedding_near_dups(spark, sf_dir):
     return dd.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def q_embedding_near_dups_mp(spark, sf_dir):
+    """Multi-probe variant: vectors also enter their second-dominant
+    dimension's bucket, catching near-dups whose argmax dims disagree."""
+    return dd.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_probes=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible entries (rows-only driver check; validated in pytest
 # against exact baselines / planted ground truth instead)
@@ -842,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_mp": q_embedding_near_dups_mp,
         # migrations (runnable jobs, closed-form oracles)
         "s13_migration": q_s13_migration,
         "s14_migration": q_s14_migration,
@@ -1315,6 +1324,33 @@ def oracle_sql() -> dict[str, str]:
             select a.vec_id as vec_a, b.vec_id as vec_b,
                    round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
             from b a join b b on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
+            where round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3
+        """,
+        "embedding_near_dups_mp": """
+            with v as (
+                select vec_id, embedding::double[] as vec,
+                       list_transform(embedding::double[], x -> abs(x)) as a
+                from embeddings
+            ),
+            keyed as (
+                select vec_id, vec,
+                       list_position(a, list_max(a)) as p1,
+                       coalesce(
+                           list_position(a,
+                               list_max(list_filter(a, x -> x <> list_max(a)))),
+                           list_position(a, list_max(a))
+                       ) as p2
+                from v
+            ),
+            probes as (
+                select vec_id, vec,
+                       unnest(list_distinct([p1 % 8, p2 % 8])) as bucket_key
+                from keyed
+            )
+            select distinct a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
+            from probes a join probes b
+              on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
             where round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3
         """,
         # ---- fixture-backed oracles -------------------------------------

@@ -285,21 +285,38 @@ def simhash_near_dups(
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.9, n_buckets: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_buckets: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by dominant-dimension sign
+    """Embedding-cosine near-dup pairs blocked by dominant-dimension
     bucket (cheap LSH: argmax |component| index mod n_buckets); exact
-    cosine verification inside buckets."""
+    cosine verification inside buckets.
+
+    ``n_probes=2`` (the recall upgrade for the single-probe weakness):
+    each vector also enters the bucket of its SECOND-largest |component|
+    — near-duplicates whose top two dimensions are close can disagree on
+    the argmax, and the second probe catches exactly that failure mode
+    at 2x candidate cost (still bucketed, never all-pairs).  Tie rule is
+    by VALUE (the runner-up magnitude, first position), mirrored exactly
+    in the DuckDB oracle."""
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    key = F.pmod(
-        F.array_position(
-            F.transform(vec_d, lambda x: F.abs(x)),
-            F.array_max(F.transform(vec_d, lambda x: F.abs(x))),
-        ).cast("int"),
-        F.lit(n_buckets),
-    )
+    abs_v = F.transform(vec_d, lambda x: F.abs(x))
+    m1 = F.array_max(abs_v)
+    p1 = F.array_position(abs_v, m1)
+    keys = F.array(F.pmod(p1.cast("int"), F.lit(n_buckets)))
+    if n_probes >= 2:
+        m2 = F.array_max(F.filter(abs_v, lambda x: x != m1))
+        p2 = F.coalesce(F.array_position(abs_v, m2), p1)
+        keys = F.array_distinct(
+            F.array(
+                F.pmod(p1.cast("int"), F.lit(n_buckets)),
+                F.pmod(p2.cast("int"), F.lit(n_buckets)),
+            )
+        )
     base = embeddings.select(
-        F.col("vec_id"), vec_d.alias("vec"), key.alias("bucket_key")
+        F.col("vec_id"), vec_d.alias("vec"), F.explode(keys).alias("bucket_key")
     )
     a, b = base.alias("a"), base.alias("b")
     cos = cosine_sim(F.col("a.vec"), F.col("b.vec"))
@@ -312,4 +329,5 @@ def embedding_near_dups(
             F.round(cos, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
     )

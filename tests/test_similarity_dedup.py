@@ -182,3 +182,38 @@ def test_embedding_near_dups_planted(spark, clustered_embeddings):
               for r in clustered_embeddings.collect()}
     same = sum(1 for r in rows if labels[r["vec_a"]] == labels[r["vec_b"]])
     assert same / len(rows) > 0.95  # cosine >= 0.85 implies same cluster
+
+def test_embedding_near_dups_multiprobe_recall(spark):
+    """n_probes=2 must strictly contain the single-probe pairs and lift
+    recall vs exact all-pairs (the single-probe weakness: near-dups whose
+    top-two |components| are close can disagree on the argmax)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(120):
+        v = rng.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((2 * i, [float(x) for x in v]))
+        w = v + 0.18 * rng.randn(16)  # near-dup, argmax may flip
+        w /= np.linalg.norm(w)
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(df):
+        return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+    single = pairs(dd.embedding_near_dups(emb, threshold=0.8, n_probes=1))
+    multi = pairs(dd.embedding_near_dups(emb, threshold=0.8, n_probes=2))
+    assert single <= multi
+    # exact ground truth: planted pairs with cosine >= 0.8
+    truth = set()
+    for i in range(120):
+        a = np.array(rows[2 * i][1], dtype=np.float64)
+        b = np.array(rows[2 * i + 1][1], dtype=np.float64)
+        if float(a @ b) >= 0.8:
+            truth.add((2 * i, 2 * i + 1))
+    r1 = len(single & truth) / len(truth)
+    r2 = len(multi & truth) / len(truth)
+    assert r2 >= r1
+    assert r2 >= 0.5, f"multi-probe recall {r2:.2f} (single {r1:.2f})"
