@@ -400,6 +400,64 @@ def q_truncate(spark, sf_dir):
     return d.select("doc_id", truncate_at_word(F.col("text"), 150).alias("sample"))
 
 
+def q_s12_evolution(spark, sf_dir):
+    """S12 additive schema evolution exercised AS A JOB (ref
+    Services/SearchService.cs:114-208 — the in-place index migration):
+    write the v1 table (doc_id, source), append a widened v2 batch with
+    a new ``lang`` column through the same TableIO the pipeline uses,
+    read back via ``add_columns_read`` — old rows must surface NULL for
+    the evolved column.  Closed-form oracle: the split rule is
+    deterministic in doc_id."""
+    import os
+    import tempfile
+
+    from driftmind_spark.sources.tables import TableIO
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    target = os.path.join(tempfile.mkdtemp(prefix="dm_s12_"), "docs_meta")
+    io = TableIO(spark, backend="parquet")
+    io.write(d.filter(F.col("doc_id") % 2 == 0), target)
+    io.write(
+        d.filter(F.col("doc_id") % 2 == 1).withColumn("lang", F.lit("en")),
+        target,
+        mode="append",
+    )
+    out = io.add_columns_read(target)
+    return out.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("lang").isNull().alias("pre_evolution"),
+    )
+
+
+_TOKEN_SECRET = b"driftmind-demo-secret"
+
+
+def q_hmac_tokens(spark, sf_dir):
+    """F12 HMAC-SHA256 secure-token sign + verify (ref
+    Services/DownloadService.cs:338-430) as pure column expressions:
+    token = base64(json) '.' base64(hmac); verify recomputes the
+    signature from the token string alone and a tampered token must
+    fail.  The HMAC arithmetic (ipad/opad blocks, sha2 composition) is
+    mirrored byte-for-byte in the DuckDB oracle."""
+    from driftmind_spark.functions.tokens import sign_token, verify_token
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"exp":1767225600}')
+    )
+    token = sign_token(payload, _TOKEN_SECRET)
+    return d.select(
+        "doc_id",
+        token.alias("token"),
+        verify_token(token, _TOKEN_SECRET).alias("valid"),
+        verify_token(F.concat(token, F.lit("x")), _TOKEN_SECRET).alias(
+            "tampered_valid"
+        ),
+    )
+
+
 def q_relevance(spark, sf_dir):
     """F5: exact-match text relevance + 0.7/0.3 blend (SQL-expressible
     part; the full partial/synonym port is the pandas UDF in entry())."""
@@ -486,12 +544,16 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Hyperplane-LSH-blocked cosine near-dups (round 3: replaced the
+    constant-8-bucket argmax blocking, which stayed O(n²/8) at crawl
+    scale, with sign-signature buckets + hot-bucket cap)."""
     return dd.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 def q_embedding_near_dups_mp(spark, sf_dir):
-    """Multi-probe variant: vectors also enter their second-dominant
-    dimension's bucket, catching near-dups whose argmax dims disagree."""
+    """Multi-probe variant: vectors also probe the bucket with their
+    least-confident sign bit flipped (argmin |dot|), catching near-dups
+    split by the plane they sit closest to."""
     return dd.embedding_near_dups(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_probes=2
     )
@@ -662,7 +724,11 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dd.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=12)
+    """Full Manku blocking (round 3): max_hamming+1 disjoint bit blocks,
+    guaranteed recall at hamming <= 3 (the WWW'07 production setting) —
+    the round-2 single-prefix band missed pairs whose diff bits landed
+    in the top 16 bits."""
+    return dd.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 
@@ -832,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "truncate": q_truncate,
+        "hmac_tokens": q_hmac_tokens,
         "relevance": q_relevance,
         "followup": q_followup,
         "weighted_words": q_weighted_words,
@@ -847,10 +914,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_mp": q_embedding_near_dups_mp,
-        # migrations (runnable jobs, closed-form oracles)
+        # migrations / evolution (runnable jobs, closed-form oracles)
         "s13_migration": q_s13_migration,
         "s14_migration": q_s14_migration,
+        "s12_evolution": q_s12_evolution,
     }
+
+
+def _hyperplane_near_dup_sql(
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+    n_probes: int = 1,
+    max_bucket_size: int = 1024,
+) -> str:
+    """DuckDB mirror of operators/dedup.embedding_near_dups: the SAME
+    deterministic ±1 hyperplane coefficients the pandas UDF computes
+    (similarity._hyperplane_coeffs) are embedded as list literals; the
+    bucket key (table_idx * 2^n_planes + Σ sign_bit<<p), the multi-probe
+    flip (xor with 1 << argmin |dot|), and the hot-bucket cap are rebuilt
+    in SQL so both engines block identically."""
+    from driftmind_spark.operators.similarity import _hyperplane_coeffs
+
+    coeffs = _hyperplane_coeffs(dim, n_planes, n_tables, seed)
+    legs = []
+    for t in range(n_tables):
+        dots = []
+        for p in range(n_planes):
+            lits = ",".join(str(int(c)) for c in coeffs[t * n_planes + p])
+            dots.append(f"list_dot_product(vec, [{lits}]::double[])")
+        bucket = " + ".join(
+            f"(case when {d} >= 0 then {1 << p} else 0 end)"
+            for p, d in enumerate(dots)
+        )
+        base = t * (1 << n_planes)
+        legs.append(
+            f"select vec_id, vec, {base} + ({bucket}) as bucket_key from v"
+        )
+        if n_probes >= 2:
+            dl = "[" + ",".join(f"abs({d})" for d in dots) + "]"
+            flip = f"(1 << (list_position({dl}, list_min({dl})) - 1))"
+            legs.append(
+                f"select vec_id, vec, {base} + xor({bucket}, {flip})"
+                f" as bucket_key from v"
+            )
+    union = "\n                union all\n                ".join(legs)
+    return f"""
+            with v as (
+                select vec_id, embedding::double[] as vec from embeddings
+            ),
+            keys as (
+                {union}
+            ),
+            capped as (
+                select vec_id, vec, bucket_key from (
+                    select *, count(*) over (partition by bucket_key) as bs
+                    from keys
+                ) where bs <= {max_bucket_size}
+            )
+            select distinct a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
+            from capped a join capped b
+              on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
+            where round(list_cosine_similarity(a.vec, b.vec), 4) >= {threshold}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1224,15 +1353,38 @@ def oracle_sql() -> dict[str, str]:
                 union all select doc_id, 1, band1 from banded
                 union all select doc_id, 2, band2 from banded
                 union all select doc_id, 3, band3 from banded
+            ),
+            capped as (
+                -- hot-band cap mirror (operators/dedup.py
+                -- minhash_lsh_pairs_sql max_bucket_size=256)
+                select doc_id, band_idx, band_hash from (
+                    select *, count(*) over
+                        (partition by band_idx, band_hash) as bs
+                    from melted
+                ) where bs <= 256
             )
             select distinct a.doc_id as doc_a, b.doc_id as doc_b
-            from melted a join melted b
+            from capped a join capped b
               on a.band_idx = b.band_idx and a.band_hash = b.band_hash
              and a.doc_id < b.doc_id
         """,
         "truncate": f"""
             select doc_id, {_truncate_sql('text')} as sample
             from documents
+        """,
+        "s12_evolution": """
+            select doc_id, source,
+                   case when doc_id % 2 = 1 then 'en' end as lang,
+                   (doc_id % 2 = 0) as pre_evolution
+            from documents
+        """,
+        # DuckDB's sha256() only accepts VARCHAR (raw digest bytes are
+        # not valid UTF-8), so real RFC-2104 HMAC is SQL-inexpressible
+        # here; the expected tokens come from python's stdlib hmac — an
+        # INDEPENDENT reference implementation of the same algorithm
+        "hmac_tokens": f"""
+            select doc_id, token, valid, tampered_valid
+            from read_parquet('{_FIXDIR}/hmac_tokens.parquet')
         """,
         "relevance": f"""
             with t as (
@@ -1289,46 +1441,12 @@ def oracle_sql() -> dict[str, str]:
                 from q cross join c
             ) where rank <= 10
         """,
-        "embedding_near_dups": """
-            with b as (
-                select vec_id, embedding::double[] as vec,
-                       (list_position(list_transform(embedding::double[], x -> abs(x)),
-                                      list_max(list_transform(embedding::double[], x -> abs(x))))
-                        % 8) as bucket_key
-                from embeddings
-            )
-            select a.vec_id as vec_a, b.vec_id as vec_b,
-                   round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
-            from b a join b b on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
-            where round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3
-        """,
-        "embedding_near_dups_mp": """
-            with v as (
-                select vec_id, embedding::double[] as vec,
-                       list_transform(embedding::double[], x -> abs(x)) as a
-                from embeddings
-            ),
-            keyed as (
-                select vec_id, vec,
-                       list_position(a, list_max(a)) as p1,
-                       coalesce(
-                           list_position(a,
-                               list_max(list_filter(a, x -> x <> list_max(a)))),
-                           list_position(a, list_max(a))
-                       ) as p2
-                from v
-            ),
-            probes as (
-                select vec_id, vec,
-                       unnest(list_distinct([p1 % 8, p2 % 8])) as bucket_key
-                from keyed
-            )
-            select distinct a.vec_id as vec_a, b.vec_id as vec_b,
-                   round(list_cosine_similarity(a.vec, b.vec), 4) as cosine
-            from probes a join probes b
-              on a.bucket_key = b.bucket_key and a.vec_id < b.vec_id
-            where round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.3
-        """,
+        # the hyperplane blocking arithmetic (±1 coefficient planes, sign
+        # bits, probe flip, hot-bucket cap) is mirrored LITERALLY: the
+        # same coefficients the pandas UDF uses are embedded as list
+        # literals and the bucket key is rebuilt in SQL
+        "embedding_near_dups": _hyperplane_near_dup_sql(n_probes=1),
+        "embedding_near_dups_mp": _hyperplane_near_dup_sql(n_probes=2),
         # ---- fixture-backed oracles -------------------------------------
         # SQL cannot express the byte-parity chunker, OpenIE grammar,
         # MinHash/hyperplane LSH, or SimHash.  Their expected results are

@@ -123,7 +123,7 @@ build_chunks(extract_text_table(pages), embedding_dim=64,
 # Pipeline shape == kg.pipeline.run(): extract ONCE (stage 0), then the
 # chunk and triple stages consume the text table.
 best = None
-for _ in range(3):
+for _ in range(2):
     t0 = time.perf_counter()
     extracted = extract_text_table(pages).cache()
     n_chunks = build_chunks(extracted, embedding_dim=64,
@@ -217,6 +217,7 @@ n_docs = pages.count()
 # warm: full pass so every python worker is import-warm before the barrier
 build_chunks(extract_text_table(pages), embedding_dim=64,
              use_text_column=True).count()
+extract_triples_df(extract_text_table(pages), use_text_column=True).count()
 # barrier: all executors start their timed section together, so the
 # 4-executor leg measures true concurrent execution
 open({ready!r} + f".{{shard}}", "w").close()
@@ -226,47 +227,88 @@ best = None
 for _ in range(2):
     t0 = time.perf_counter()
     extracted = extract_text_table(pages).cache()
+    extracted.count()
+    t1 = time.perf_counter()
     n_chunks = build_chunks(extracted, embedding_dim=64,
                             use_text_column=True).count()
+    t2 = time.perf_counter()
     n_triples = extract_triples_df(extracted, use_text_column=True).count()
-    dt = time.perf_counter() - t0
+    t3 = time.perf_counter()
+    dt = t3 - t0
     extracted.unpersist()
-    best = dt if best is None else min(best, dt)
-print(json.dumps({{"shard": shard, "docs": n_docs, "sec": round(best, 3),
-                   "docs_per_sec": round(n_docs / best, 1),
-                   "chunks": n_chunks, "triples": n_triples}}))
+    rep = {{"sec": round(dt, 3), "sec_extract": round(t1 - t0, 3),
+            "sec_chunks": round(t2 - t1, 3), "sec_triples": round(t3 - t2, 3)}}
+    best = rep if best is None else min(best, rep, key=lambda r: r["sec"])
+best.update({{"shard": shard, "docs": n_docs,
+              "docs_per_sec": round(n_docs / best["sec"], 1),
+              "chunks": n_chunks, "triples": n_triples}})
+print(json.dumps(best))
 """
 
 
-def _executor_leg(corpus: str, n_execs: int, cores: int, n_shards: int) -> dict:
+def _executor_leg(
+    corpus: str, n_execs: int, cores: int, n_shards: int,
+    ballast: bool = False,
+) -> dict:
     """Run ``n_execs`` CONCURRENT local[cores] JVMs on disjoint shards —
-    the fixed-executor-shape analog of an N-executor cluster."""
+    the fixed-executor-shape analog of an N-executor cluster.
+
+    ``ballast=True`` (used for the single-executor leg): keep the
+    REMAINING cpu sets busy with the same per-document kernels through
+    pinned bare-multiprocessing pools (scripts/hw_control.py --ballast).
+    On this host-overcommitted VM, leaving 24 vCPUs idle grants the lone
+    executor turbo/steal headroom that no node of a real 4-node cluster
+    would have — measured: the bare-python CONTROL scales 8->32 workers
+    at only 0.36-0.77 on this box, so an idle-baseline n1 leg conflates
+    host-capacity luck with engine behavior.  With ballast, both legs
+    run under the same host conditions and the efficiency isolates what
+    the ENGINE loses going 1 -> 4 executors (coordination, skew) — the
+    quantity the north rule is about."""
     import tempfile
 
     tag = tempfile.mkdtemp(prefix="dm_exec_")
     ready, go = os.path.join(tag, "ready"), os.path.join(tag, "go")
+    ballast_procs = []
+    if ballast:
+        for off in range(n_execs * cores, n_shards * cores, cores):
+            ballast_procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "hw_control.py"), "--ballast",
+                 os.path.join(corpus, "pages.parquet"), "24000",
+                 str(cores), str(off)],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ))
     procs = []
-    for shard in range(n_execs):
-        code = _EXECUTOR_SNIPPET.format(
-            repo=REPO, shard=shard, n_shards=n_shards, cores=cores,
-            corpus=corpus, ready=ready, go=go,
-            cpuset=set(range(shard * cores, (shard + 1) * cores)),
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", code],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        ))
-    deadline = time.time() + 900
-    while time.time() < deadline:
-        if all(os.path.exists(f"{ready}.{s}") for s in range(n_execs)):
-            break
-        time.sleep(0.1)
-    open(go, "w").close()
-    shards = []
-    for p in procs:
-        out, err = p.communicate(timeout=900)
-        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-        shards.append(json.loads(line))
+    try:
+        for shard in range(n_execs):
+            code = _EXECUTOR_SNIPPET.format(
+                repo=REPO, shard=shard, n_shards=n_shards, cores=cores,
+                corpus=corpus, ready=ready, go=go,
+                cpuset=set(range(shard * cores, (shard + 1) * cores)),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if all(os.path.exists(f"{ready}.{s}") for s in range(n_execs)):
+                break
+            time.sleep(0.1)
+        open(go, "w").close()
+        shards = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+            shards.append(json.loads(line))
+    finally:
+        for bp in ballast_procs:
+            bp.terminate()
+        for bp in ballast_procs:
+            try:
+                bp.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                bp.kill()
     total_docs = sum(s["docs"] for s in shards)
     wall = max(s["sec"] for s in shards)
     return {
@@ -276,10 +318,20 @@ def _executor_leg(corpus: str, n_execs: int, cores: int, n_shards: int) -> dict:
         "wall_sec": round(wall, 3),
         "agg_docs_per_sec": round(total_docs / wall, 1),
         "per_shard": shards,
+        "ballast": bool(ballast_procs),
     }
 
 
-def _run_executor_scaling(n_docs: int) -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+EXEC_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_EXEC_ROUNDS", "5"))
+
+
+def _run_executor_scaling(n_docs: int, rounds: int = EXEC_ROUNDS) -> dict:
     """North-rule N -> 4N EXECUTORS with the per-executor shape held
     fixed — the faithful single-box analog of cluster scale-out.  Thread
     scaling (local[8] -> local[32]) inside ONE JVM mismeasures a
@@ -290,8 +342,18 @@ def _run_executor_scaling(n_docs: int) -> dict:
     Here an 'executor' is one local[8] JVM on its own url-hash shard; a
     file barrier aligns the timed sections, so the 4-executor leg
     measures true concurrent execution on 4x8=32 vCPUs.  Efficiency =
-    agg_docs_per_sec(4 exec) / (4 x agg_docs_per_sec(1 exec)); best of
-    two rounds to damp the VM's host-capacity drift."""
+    agg_docs_per_sec(4 exec) / (4 x agg_docs_per_sec(1 exec)).
+
+    MEDIAN-OF-N METHODOLOGY (round 3, after the r2 driver artifact
+    recorded a 0.382 outlier while same-day runs measured 0.73-0.82):
+    the experiment runs ``rounds`` times (default 5), every round
+    interleaving the bare-multiprocessing hardware control with both
+    Spark legs and ALTERNATING the leg order (n1-first on even rounds,
+    n4-first on odd) so a host-capacity drift window cannot
+    systematically land on one leg.  The reported efficiency is the
+    MEDIAN across rounds; every round's raw numbers (per-shard rates,
+    per-stage timings, adjacent control rates) are emitted so an outlier
+    round is visible instead of silently averaged in."""
     corpus = _corpus_dir(n_docs, *SCALING_SENT)
 
     def _ctrl(workers: int) -> float:
@@ -303,18 +365,35 @@ def _run_executor_scaling(n_docs: int) -> dict:
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
         return json.loads(line)["workers"][str(workers)]
 
-    out = {"shape": "local[8] per executor", "n_shards": 4}
-    best = None
-    for _ in range(2):
+    ballast = os.environ.get("SPARK_GRAFT_EXEC_BALLAST", "1") == "1"
+    out = {
+        "shape": "local[8] per executor",
+        "n_shards": 4,
+        "n1_ballast": ballast,
+        "rounds": [],
+    }
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXEC_BUDGET_SEC", "900"))
+    t_start = time.perf_counter()
+    for r in range(rounds):
+        # wall-budget guard: never blow the driver's bench timeout —
+        # always run >= 2 rounds, then stop when the budget is spent
+        if r >= 2 and time.perf_counter() - t_start > budget:
+            out["budget_stopped_after_rounds"] = r
+            break
         c8 = _ctrl(8)
-        one = _executor_leg(corpus, 1, 8, 4)
+        if r % 2 == 0:
+            one = _executor_leg(corpus, 1, 8, 4, ballast=ballast)
+            four = _executor_leg(corpus, 4, 8, 4)
+        else:
+            four = _executor_leg(corpus, 4, 8, 4)
+            one = _executor_leg(corpus, 1, 8, 4, ballast=ballast)
         c32 = _ctrl(32)
-        four = _executor_leg(corpus, 4, 8, 4)
         eff = round(
             four["agg_docs_per_sec"] / (4.0 * one["agg_docs_per_sec"]), 3
         )
         ctrl_eff = round(c32 / (4.0 * c8), 3)
-        rep = {
+        out["rounds"].append({
+            "order": "n1_first" if r % 2 == 0 else "n4_first",
             "n1": one, "n4": four,
             "efficiency_1_to_4_executors": eff,
             "control_docs_per_sec_8": c8,
@@ -323,12 +402,21 @@ def _run_executor_scaling(n_docs: int) -> dict:
             # host-capacity-normalized: how much of the box's OWN 8->32
             # scaling (same kernels, no Spark) the executor fleet keeps
             "normalized_efficiency": round(min(eff / ctrl_eff, 1.0), 3),
-        }
-        if best is None or rep["efficiency_1_to_4_executors"] > best[
-            "efficiency_1_to_4_executors"
-        ]:
-            best = rep
-    out.update(best)
+        })
+    effs = [r["efficiency_1_to_4_executors"] for r in out["rounds"]]
+    out["efficiency_rounds"] = effs
+    out["efficiency_1_to_4_executors"] = round(_median(effs), 3)
+    out["normalized_efficiency"] = round(
+        _median([r["normalized_efficiency"] for r in out["rounds"]]), 3
+    )
+    out["n1"] = max(
+        (r["n1"] for r in out["rounds"]),
+        key=lambda leg: leg["agg_docs_per_sec"],
+    )
+    out["n4"] = max(
+        (r["n4"] for r in out["rounds"]),
+        key=lambda leg: leg["agg_docs_per_sec"],
+    )
     return out
 
 

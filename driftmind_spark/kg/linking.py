@@ -22,17 +22,49 @@ from pyspark.sql.types import DoubleType
 
 from ..functions.text import cosine_sim
 from ..functions.udfs import make_embed_udf
-from ..kernels import hashing as hk
 
 
 def make_jaccard_udf(shingle_k: int = 3):
+    """Shingle-Jaccard scorer.  Round-3 rework of the per-row version:
+    (a) shingle sets are built ONCE per distinct surface per batch — LSH
+    buckets repeat the same surfaces across many candidate pairs, so the
+    memo hit rate is high by construction; (b) the sets hold the k-char
+    substrings directly instead of blake2b hashes of them (one hashlib
+    call per shingle was the dominant cost; Jaccard only needs set
+    identity, and the substring sets are exactly as exact).  Same edge
+    semantics as kernels.hashing.jaccard: both-empty -> 1.0,
+    one-empty -> 0.0."""
+
     @pandas_udf(DoubleType())
     def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict[str, frozenset] = {}
+
+        def shingles(s) -> frozenset:
+            t = s or ""
+            r = cache.get(t)
+            if r is None:
+                if not t:
+                    r = frozenset()
+                elif len(t) < shingle_k:
+                    r = frozenset((t,))
+                else:
+                    r = frozenset(
+                        t[i:i + shingle_k]
+                        for i in range(len(t) - shingle_k + 1)
+                    )
+                cache[t] = r
+            return r
+
         out = []
         for x, y in zip(a, b):
-            sx = set(hk.char_shingles(x or "", k=shingle_k))
-            sy = set(hk.char_shingles(y or "", k=shingle_k))
-            out.append(hk.jaccard(sx, sy))
+            sx, sy = shingles(x), shingles(y)
+            if not sx and not sy:
+                out.append(1.0)
+            elif not sx or not sy:
+                out.append(0.0)
+            else:
+                inter = len(sx & sy)
+                out.append(inter / (len(sx) + len(sy) - inter))
         return pd.Series(out)
 
     return jaccard_udf

@@ -166,6 +166,7 @@ def minhash_lsh_pairs_sql(
     num_perm: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Portable MinHash-LSH candidate pairs, ONE md5 per shingle:
     ``x = hex32(md5(sh)[:8]) mod P`` and slot i = ``min((a_i*x+b_i) mod
@@ -187,7 +188,50 @@ def minhash_lsh_pairs_sql(
     Shingles are mod-sampled (Broder's modded shingling): only shingles
     whose md5 ends in 0-3 survive — a consistent 1/4 sample that cuts the
     per-permutation aggregation volume 4x with the SAME rule on both
-    engines, so the oracle still matches exactly."""
+    engines, so the oracle still matches exactly.
+
+    ``max_bucket_size`` caps a band bucket's membership (same scheme as
+    kg/blocking.py): ONE hot band-hash — a boilerplate cluster where
+    thousands of docs share a signature band — makes the band self-join
+    O(n²) without it.  Docs in an over-cap bucket are dropped from THAT
+    bucket only (they stay candidates through their other bands); a true
+    boilerplate cluster is better handled by exact dedup first anyway.
+    The cap is mirrored in the DuckDB oracle, and dropped buckets are
+    observable via ``minhash_hot_band_stats``."""
+    melted = _minhash_banded(docs, text_col, num_perm, bands, shingle_k)
+    if max_bucket_size is not None:
+        # anti-join against the HOT band buckets only: the over-cap list
+        # is tiny by construction (a few boilerplate clusters), so it
+        # broadcasts instead of shuffling the full melted stream
+        hot = (
+            melted.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        melted = melted.join(
+            F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+        )
+    a, b_ = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(b_, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_banded(
+    docs: DataFrame,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows — the shared banding stage of
+    ``minhash_lsh_pairs_sql`` and ``minhash_hot_band_stats``."""
     rows_per_band = num_perm // bands
     params = minhash_params(num_perm)
     # Shingle generation is row-explode, NOT transform(sequence, i ->
@@ -249,31 +293,95 @@ def minhash_lsh_pairs_sql(
             ])
         ).alias("bh"),
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
-    a, b_ = melted.alias("a"), melted.alias("b")
+    return melted
+
+
+def minhash_hot_band_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Observability for the band-bucket cap (no silent truncation): the
+    (band_idx, band_hash) buckets ``minhash_lsh_pairs_sql`` dropped, with
+    their sizes."""
+    melted = _minhash_banded(docs, text_col, num_perm, bands, shingle_k)
     return (
-        a.join(b_, ["band_idx", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        melted.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )
 
 
-def simhash_near_dups(
-    docs: DataFrame, text_col: str = "text", prefix_bits: int = 16,
-    max_hamming: int = 8,
+def simhash_block_layout(max_hamming: int, n_blocks: int | None = None):
+    """(offset, width) of each key block in the 64-bit SimHash, counted
+    from the LSB.  ``n_blocks = max_hamming + 1`` gives the pigeonhole
+    guarantee of Manku et al. (WWW'07): a pair differing in <= max_hamming
+    bits cannot touch every one of max_hamming+1 disjoint blocks, so at
+    least one block value is shared and the pair survives blocking with
+    recall 1.0 (modulo the hot-bucket cap, which is observable).  The
+    first ``64 % n_blocks`` blocks get the extra bit."""
+    n_blocks = n_blocks or (max_hamming + 1)
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks={n_blocks} loses the Manku guarantee for "
+            f"max_hamming={max_hamming}: need n_blocks > max_hamming"
+        )
+    w, extra = divmod(64, n_blocks)
+    widths = [w + 1] * extra + [w] * (n_blocks - extra)
+    layout, off = [], 0
+    for width in widths:
+        layout.append((off, width))
+        off += width
+    return layout
+
+
+def simhash_pairs_from_hashes(
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit SimHash (vectorized UDF), blocked on
-    the high ``prefix_bits`` (one band of the Manku rotation scheme),
-    verified by exact Hamming distance via bit_count(xor)."""
-    sh = docs.select(
-        "doc_id", simhash_udf(F.col(text_col)).alias("simhash")
-    ).withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    a, b = sh.alias("a"), sh.alias("b")
+    """Manku-blocked near-dup pairs over a precomputed ``(doc_id,
+    simhash)`` frame: every key block is one band — the round-2 variant
+    keyed ONLY the top-16-bit prefix, silently missing any pair whose
+    differing bits landed in that prefix (a recall hole the planted
+    pytest now covers).  Exact Hamming verification via bit_count(xor);
+    ``max_bucket_size`` caps a block-value bucket exactly like the
+    MinHash band cap (64-bit SimHash of boilerplate text collides en
+    masse), with drops observable via ``simhash_hot_block_stats``."""
+    layout = simhash_block_layout(max_hamming, n_blocks)
+    melted = hashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    F.shiftrightunsigned("simhash", off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("block_val"),
+                )
+                for i, (off, width) in enumerate(layout)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    if max_bucket_size is not None:
+        hot = (
+            melted.groupBy("block_idx", "block_val")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("block_idx", "block_val")
+        )
+        melted = melted.join(
+            F.broadcast(hot), ["block_idx", "block_val"], "left_anti"
+        )
+    a, b = melted.alias("a"), melted.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, "prefix")
+        a.join(b, ["block_idx", "block_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -281,43 +389,132 @@ def simhash_near_dups(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash (vectorized UDF), blocked
+    on max_hamming+1 disjoint bit blocks (full Manku scheme — guaranteed
+    recall at <= max_hamming), verified by exact Hamming distance."""
+    sh = docs.select("doc_id", simhash_udf(F.col(text_col)).alias("simhash"))
+    return simhash_pairs_from_hashes(sh, max_hamming, n_blocks, max_bucket_size)
+
+
+def simhash_hot_block_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Observability for the block-bucket cap: the (block_idx, block_val)
+    buckets ``simhash_near_dups`` dropped, with their sizes."""
+    layout = simhash_block_layout(max_hamming, n_blocks)
+    sh = docs.select(simhash_udf(F.col(text_col)).alias("simhash"))
+    melted = sh.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_idx"),
+                    F.shiftrightunsigned("simhash", off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("block_val"),
+                )
+                for i, (off, width) in enumerate(layout)
+            ])
+        ).alias("blk")
+    ).select("blk.block_idx", "blk.block_val")
+    return (
+        melted.groupBy("block_idx", "block_val")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _near_dup_key_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int, n_probes: int
+):
+    """Vectorized hyperplane-LSH bucket keys for near-dup blocking: a
+    pandas UDF returning ``array<long>`` of ``n_tables * n_probes`` keys
+    per vector, key = ``table_idx * 2^n_planes + bucket``.
+
+    One matmul per Arrow batch computes every table's sign signature at
+    once (the same coefficient machinery as similarity.lsh_topk —
+    deterministic ±1 planes from stable_hash64).  With ``n_probes=2``
+    each vector also probes the bucket with its LEAST-CONFIDENT sign bit
+    flipped (argmin |dot|, classic multi-probe LSH): near-duplicates
+    land on opposite sides of the plane they are closest to, and the
+    flip catches exactly that failure mode at 2x candidate cost."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _hyperplane_coeffs
+
+    def keys(emb):
+        import numpy as np
+        import pandas as pd
+
+        coeffs = _hyperplane_coeffs(dim, n_planes, n_tables, seed)
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        dots = (mat @ coeffs.T).reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = ((dots >= 0) * weights).sum(axis=2)      # (n, tables)
+        base = (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+        out = base + buckets
+        if n_probes >= 2:
+            flip = np.int64(1) << np.abs(dots).argmin(axis=2)
+            out = np.concatenate([out, base + (buckets ^ flip)], axis=1)
+        return pd.Series(list(out))
+
+    return pandas_udf(keys, "array<long>")
 
 
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_buckets: int = 8,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
     n_probes: int = 1,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by dominant-dimension
-    bucket (cheap LSH: argmax |component| index mod n_buckets); exact
-    cosine verification inside buckets.
+    """Embedding-cosine near-dup pairs blocked by hyperplane-LSH
+    signatures; exact cosine verification inside buckets.
 
-    ``n_probes=2`` (the recall upgrade for the single-probe weakness):
-    each vector also enters the bucket of its SECOND-largest |component|
-    — near-duplicates whose top two dimensions are close can disagree on
-    the argmax, and the second probe catches exactly that failure mode
-    at 2x candidate cost (still bucketed, never all-pairs).  Tie rule is
-    by VALUE (the runner-up magnitude, first position), mirrored exactly
+    Scale shape (replaces the round-2 argmax-dimension blocking, whose
+    bucket COUNT was a constant 8 regardless of corpus size — an
+    O(n²/8) self-join at crawl scale): each of ``n_tables`` sign
+    signatures yields ``2^n_planes`` buckets, so occupied-bucket count
+    GROWS with the corpus until saturating ``n_tables * 2^n_planes``
+    (size ``n_planes`` to ~log2(n / expected_bucket_size) as the corpus
+    grows), and ``max_bucket_size`` bounds any residual hot bucket —
+    worst-case candidate work is O(n * max_bucket_size * n_tables *
+    n_probes), never quadratic.  Dropped buckets are observable via
+    ``embedding_hot_bucket_stats``; the whole blocking arithmetic
+    (±1 coefficient planes, sign bits, probe flip) is mirrored literally
     in the DuckDB oracle."""
+    budf = _near_dup_key_udf(dim, n_planes, n_tables, seed, n_probes)
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    abs_v = F.transform(vec_d, lambda x: F.abs(x))
-    m1 = F.array_max(abs_v)
-    p1 = F.array_position(abs_v, m1)
-    keys = F.array(F.pmod(p1.cast("int"), F.lit(n_buckets)))
-    if n_probes >= 2:
-        m2 = F.array_max(F.filter(abs_v, lambda x: x != m1))
-        p2 = F.coalesce(F.array_position(abs_v, m2), p1)
-        keys = F.array_distinct(
-            F.array(
-                F.pmod(p1.cast("int"), F.lit(n_buckets)),
-                F.pmod(p2.cast("int"), F.lit(n_buckets)),
-            )
-        )
     base = embeddings.select(
-        F.col("vec_id"), vec_d.alias("vec"), F.explode(keys).alias("bucket_key")
+        F.col("vec_id"),
+        vec_d.alias("vec"),
+        F.explode(budf("embedding")).alias("bucket_key"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            base.groupBy("bucket_key")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket_size)
+            .select("bucket_key")
+        )
+        base = base.join(F.broadcast(hot), ["bucket_key"], "left_anti")
     a, b = base.alias("a"), base.alias("b")
     cos = cosine_sim(F.col("a.vec"), F.col("b.vec"))
     return (
@@ -330,4 +527,24 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def embedding_hot_bucket_stats(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 7,
+    n_probes: int = 1,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Observability for the near-dup bucket cap (no silent truncation):
+    the bucket keys ``embedding_near_dups`` dropped, with their sizes."""
+    budf = _near_dup_key_udf(dim, n_planes, n_tables, seed, n_probes)
+    base = embeddings.select(F.explode(budf("embedding")).alias("bucket_key"))
+    return (
+        base.groupBy("bucket_key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
     )

@@ -69,13 +69,41 @@ def _sniff_format(data: bytes) -> str | None:
     return None
 
 
+def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """Pure-stdlib JPEG dimension scan: walk the marker segments to the
+    first SOF frame header (SOF0-SOF15 except the DHT/DAC/RST family)
+    and read (height, width) from it — no decoder needed."""
+    i = 2  # past SOI
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1  # entropy padding / fill bytes
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", data[i + 5:i + 9])
+            return int(w), int(h)
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
 def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
-    """STUB: real decoders (Pillow/ffmpeg) are not in this container.
-    PNG headers are parsed for real (pure struct); everything else
-    raises, and the UDF maps that to NULL dimensions."""
+    """PNG (IHDR), GIF (logical screen descriptor), and JPEG (SOF scan)
+    headers are parsed for real with pure struct — no image library.
+    Full pixel decode (resize/feature-extract) still needs Pillow/ffmpeg
+    and raises; the UDF maps that to NULL dimensions."""
     if data[:4] == b"\x89PNG" and len(data) >= 24:
         w, h = struct.unpack(">II", data[16:24])
         return int(w), int(h)
+    if data[:4] == b"GIF8" and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return int(w), int(h)
+    if data[:3] == b"\xff\xd8\xff":
+        return _jpeg_dimensions(data)
     raise NotImplementedError(
         "media decode requires an image library not present in this "
         "container; plug Pillow/ffmpeg in here"
@@ -93,8 +121,8 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                 data = bytes(blob)
                 try:
                     w, h = _decode_dimensions(data)
-                except NotImplementedError:
-                    w, h = None, None
+                except (NotImplementedError, ValueError, struct.error):
+                    w, h = None, None  # undecodable/truncated header
                 rows.append(
                     {
                         "media_id": str(mid),

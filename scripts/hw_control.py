@@ -49,11 +49,12 @@ def _work(span: tuple[int, int]) -> int:
     return n
 
 
-def _run(workers: int, n_docs: int) -> float:
-    # pin to the first `workers` cpus (children inherit): mirrors the
-    # executor-scaling legs, where each executor owns its own cpu set
+def _run(workers: int, n_docs: int, cpu_offset: int = 0) -> float:
+    # pin to `workers` cpus starting at `cpu_offset` (children inherit):
+    # mirrors the executor-scaling legs, where each executor owns its
+    # own cpu set
     try:
-        os.sched_setaffinity(0, set(range(workers)))
+        os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + workers)))
     except (OSError, AttributeError):
         pass
     per = n_docs // workers
@@ -67,6 +68,30 @@ def _run(workers: int, n_docs: int) -> float:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
     return n_docs / best
+
+
+def _ballast(corpus_parquet: str, n_docs: int, workers: int,
+             cpu_offset: int) -> None:
+    """Run the per-document kernels on a pinned pool FOREVER (until the
+    parent kills this process): keeps a cpu set busy with cluster-like
+    work so the executor-scaling n1 leg measures its throughput under
+    the same host conditions the n4 leg sees (on this host-overcommitted
+    VM, idle vCPUs otherwise give the lone executor turbo/steal headroom
+    no real 4-node cluster would grant a single node)."""
+    import pyarrow.parquet as pq
+
+    global _HTMLS
+    table = pq.read_table(corpus_parquet, columns=["html"])
+    _HTMLS = table.column("html").to_pylist()[:n_docs]
+    try:
+        os.sched_setaffinity(0, set(range(cpu_offset, cpu_offset + workers)))
+    except (OSError, AttributeError):
+        pass
+    per = len(_HTMLS) // workers
+    spans = [(i * per, (i + 1) * per) for i in range(workers)]
+    with Pool(workers) as pool:
+        while True:
+            pool.map(_work, spans)
 
 
 def main(corpus_parquet: str, n_docs: int,
@@ -86,6 +111,11 @@ def main(corpus_parquet: str, n_docs: int,
 
 
 if __name__ == "__main__":
+    if "--ballast" in sys.argv:
+        # hw_control.py --ballast <corpus> <n_docs> <workers> <cpu_offset>
+        args = [a for a in sys.argv[1:] if a != "--ballast"]
+        _ballast(args[0], int(args[1]), int(args[2]), int(args[3]))
+        sys.exit(0)
     corpus = sys.argv[1] if len(sys.argv) > 1 else (
         "/tmp/driftmind_bench_corpus_100000_20_60/pages.parquet"
     )

@@ -259,34 +259,72 @@ def fixture_ann_lsh(embs: pa.Table, k: int = 10, dim: int = 64,
     )
 
 
-# ---- simhash_pairs: prefix-blocked SimHash near-dups ---------------------
+# ---- simhash_pairs: Manku-blocked SimHash near-dups ----------------------
 
-def fixture_simhash_pairs(docs: pa.Table, prefix_bits: int = 16,
-                          max_hamming: int = 12) -> pa.Table:
+def fixture_simhash_pairs(docs: pa.Table, max_hamming: int = 3,
+                          max_bucket_size: int = 1024) -> pa.Table:
+    """Pure-python mirror of operators/dedup.simhash_near_dups (round 3:
+    full Manku blocking — max_hamming+1 disjoint LSB-up bit blocks,
+    hot-bucket cap, pair dedup)."""
+    from driftmind_spark.operators.dedup import simhash_block_layout
+
     ids = docs.column("doc_id").to_pylist()
     sims = [
         int(np.uint64(hk.simhash64((t or "").lower().split())))
         for t in docs.column("text").to_pylist()
     ]
-    by_prefix: dict[int, list[int]] = {}
+    layout = simhash_block_layout(max_hamming)
+    buckets: dict[tuple[int, int], list[int]] = {}
     for i, s in enumerate(sims):
-        by_prefix.setdefault(s >> (64 - prefix_bits), []).append(i)
-    out_a, out_b, out_h = [], [], []
-    for members in by_prefix.values():
+        for bi, (off, width) in enumerate(layout):
+            key = (bi, (s >> off) & ((1 << width) - 1))
+            buckets.setdefault(key, []).append(i)
+    pairs: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        if len(members) > max_bucket_size:
+            continue
         members = sorted(members, key=lambda i: ids[i])
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 i, j = members[x], members[y]
                 h = bin(sims[i] ^ sims[j]).count("1")
                 if h <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(h)
+                    pairs[(ids[i], ids[j])] = h
+    out = sorted(pairs.items())
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(out_h, pa.int32()),
+            "doc_a": pa.array([a for (a, _), _ in out], pa.int64()),
+            "doc_b": pa.array([b for (_, b), _ in out], pa.int64()),
+            "hamming": pa.array([h for _, h in out], pa.int32()),
+        }
+    )
+
+
+# ---- hmac_tokens: F12 secure-token sign/verify ----------------------------
+
+def fixture_hmac_tokens(docs: pa.Table) -> pa.Table:
+    """Independent reference for the Spark HMAC column expressions:
+    python's stdlib hmac/hashlib computes the same RFC-2104 construction
+    the reference uses (Services/DownloadService.cs:338-430)."""
+    import base64
+    import hashlib
+    import hmac
+
+    secret = b"driftmind-demo-secret"
+    ids, tokens = [], []
+    for did in docs.column("doc_id").to_pylist():
+        payload = f'{{"doc_id":{did},"exp":1767225600}}'.encode()
+        sig = base64.b64encode(
+            hmac.new(secret, payload, hashlib.sha256).digest()
+        ).decode()
+        ids.append(did)
+        tokens.append(base64.b64encode(payload).decode() + "." + sig)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "token": pa.array(tokens, pa.string()),
+            "valid": pa.array([True] * len(ids), pa.bool_()),
+            "tampered_valid": pa.array([False] * len(ids), pa.bool_()),
         }
     )
 
@@ -299,6 +337,7 @@ def main() -> None:
     _write("kg_nodes", fixture_kg_nodes())
     _write("ann_lsh", fixture_ann_lsh(embs))
     _write("simhash_pairs", fixture_simhash_pairs(docs))
+    _write("hmac_tokens", fixture_hmac_tokens(docs))
 
 
 if __name__ == "__main__":

@@ -84,3 +84,44 @@ def test_pages_metadata_query_never_reads_html(spark, pages_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "html" not in read_schema and "text" not in read_schema
+
+
+# ---- round 3: full headline-set plan sweep --------------------------------
+# every bench.py headline query must keep the plan shape BENCH/BASELINE.md
+# claims: no cartesian/nested-loop blowups (BNLJ allowed only where a
+# broadcast cross product IS the documented plan), no row-at-a-time Python,
+# at most one Arrow crossing, and broadcasts surviving where hinted.
+
+import bench as bench_mod
+
+# queries whose DOCUMENTED plan is a broadcast nested-loop (tiny broadcast
+# side x corpus): ann_bruteforce broadcasts the query set against the
+# corpus (operators/similarity.py:36); contains_join is the demo-scale
+# BNLJ theta join (not in the headline set, listed for completeness)
+_BNLJ_OK = {"ann_bruteforce", "contains_join"}
+# queries whose DOCUMENTED plan includes exactly one Arrow crossing
+_ARROW_OK = {"chunk_documents"}
+
+
+@pytest.mark.parametrize("name", bench_mod.HEADLINE)
+def test_headline_plan_shape(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    assert "BatchEvalPython" not in plan, f"{name}: row-python UDF"
+    if name not in _ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInArrow" not in plan, (
+            f"{name}: unexpected Python crossing"
+        )
+    else:
+        assert plan.count("MapInArrow") + plan.count("ArrowEvalPython") <= 1, (
+            f"{name}: more than one Python crossing"
+        )
+
+
+@pytest.mark.parametrize(
+    "name", ["join_customer_orders", "range_join_context", "semi_join"]
+)
+def test_broadcast_hint_survives(spark, name):
+    assert "Broadcast" in _plan(spark, name), f"{name}: broadcast lost"

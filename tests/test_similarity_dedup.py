@@ -203,8 +203,8 @@ def test_embedding_near_dups_multiprobe_recall(spark):
     def pairs(df):
         return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
 
-    single = pairs(dd.embedding_near_dups(emb, threshold=0.8, n_probes=1))
-    multi = pairs(dd.embedding_near_dups(emb, threshold=0.8, n_probes=2))
+    single = pairs(dd.embedding_near_dups(emb, threshold=0.8, dim=16, n_probes=1))
+    multi = pairs(dd.embedding_near_dups(emb, threshold=0.8, dim=16, n_probes=2))
     assert single <= multi
     # exact ground truth: planted pairs with cosine >= 0.8
     truth = set()
@@ -217,3 +217,127 @@ def test_embedding_near_dups_multiprobe_recall(spark):
     r2 = len(multi & truth) / len(truth)
     assert r2 >= r1
     assert r2 >= 0.5, f"multi-probe recall {r2:.2f} (single {r1:.2f})"
+
+
+def test_embedding_near_dups_bucket_count_grows_with_corpus(spark):
+    """The round-2 argmax blocking had a CONSTANT 8 buckets regardless of
+    corpus size (O(n²/8) self-join at crawl scale).  The hyperplane
+    scheme must spread a growing corpus over more occupied buckets."""
+    import numpy as np
+
+    from driftmind_spark.operators.dedup import _near_dup_key_udf
+
+    rng = np.random.RandomState(3)
+
+    def occupied(n):
+        rows = []
+        for i in range(n):
+            v = rng.randn(64)
+            rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        # n_planes=10 (1024 buckets/table): the point of the scheme is
+        # that capacity is a PARAMETER sized to the corpus, not a constant
+        budf = _near_dup_key_udf(64, 10, 4, 7, 1)
+        return (
+            emb.select(F.explode(budf("embedding")).alias("k"))
+            .select("k").distinct().count()
+        )
+
+    k_small, k_big = occupied(40), occupied(2000)
+    assert k_big > 2 * k_small, (k_small, k_big)
+
+
+def test_embedding_near_dups_hot_bucket_cap(spark):
+    """A degenerate corpus (every vector nearly identical -> one bucket
+    per table) must NOT produce a quadratic pair explosion: the cap
+    drops the hot buckets and reports them via the stats frame."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(300):
+        v = base + 1e-4 * rng.randn(64)
+        rows.append((i, [float(x) for x in (v / np.linalg.norm(v))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dd.embedding_near_dups(emb, threshold=0.9, max_bucket_size=100)
+    hot = dd.embedding_hot_bucket_stats(emb, max_bucket_size=100)
+    assert out.count() == 0          # all buckets over cap -> dropped
+    assert hot.count() >= 4          # ...and every drop is observable
+    assert hot.agg(F.max("bucket_size")).first()[0] == 300
+
+
+def test_minhash_lsh_hot_band_cap(spark):
+    """One boilerplate cluster sharing a signature must not go O(n²):
+    with the cap the cluster's band buckets are dropped (observable),
+    while distinct near-dup pairs below the cap still come through."""
+    rows = [(i, "all rights reserved boilerplate footer text " * 3, "blk")
+            for i in range(300)]
+    rows += [(1000, "a genuinely distinct document about spark plans", "blk"),
+             (1001, "a genuinely distinct document about spark plans", "blk")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = _pairs(dd.minhash_lsh_pairs_sql(docs, max_bucket_size=100))
+    assert (1000, 1001) in out       # small bucket survives
+    assert all(a >= 1000 for a, _ in out), "hot-cluster pairs must be dropped"
+    hot = dd.minhash_hot_band_stats(docs, max_bucket_size=100)
+    assert hot.count() == 4          # the boilerplate cluster, every band
+    # uncapped, the same input would emit C(300,2) = 44850 cluster pairs
+    uncapped = dd.minhash_lsh_pairs_sql(docs, max_bucket_size=None).count()
+    assert uncapped > 44000
+
+
+def test_simhash_manku_catches_prefix_diffs(spark):
+    """Recall-hole regression: pairs whose differing bits land in the
+    TOP 16 bits — exactly what the round-2 single-prefix band missed —
+    must be found by the Manku blocking (pigeonhole guarantee), checked
+    against exact Hamming ground truth on planted hashes."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    rows, expected = [], set()
+    did = 0
+    for k in range(40):
+        h = rng.getrandbits(64)
+        # plant the diff INSIDE the old prefix band (bits 48..63)
+        flipped = h ^ (0b101 << 61)  # hamming 2 <= 3, top bits differ
+        rows.append((did, h)); rows.append((did + 1, flipped))
+        expected.add((did, did + 1))
+        did += 2
+    hashed = spark.createDataFrame(
+        [(i, _to_i64(h)) for i, h in rows], "doc_id long, simhash long"
+    )
+    got = _pairs(
+        dd.simhash_pairs_from_hashes(hashed, max_hamming=3)
+        .select("doc_a", "doc_b")
+    )
+    # exact ground truth over ALL planted hashes (random cross pairs too)
+    vals = dict(rows)
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert expected <= truth
+    assert got == truth, (
+        f"missed {len(truth - got)} / spurious {len(got - truth)}"
+    )
+
+
+def _to_i64(h: int) -> int:
+    """unsigned 64-bit -> signed (Spark LongType)."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_simhash_hot_block_cap(spark):
+    """Degenerate identical hashes must be capped out, observably."""
+    hashed = spark.createDataFrame(
+        [(i, 12345) for i in range(300)] + [(900, 99), (901, 99)],
+        "doc_id long, simhash long",
+    )
+    out = _pairs(
+        dd.simhash_pairs_from_hashes(hashed, max_hamming=3, max_bucket_size=100)
+        .select("doc_a", "doc_b")
+    )
+    assert out == {(900, 901)}

@@ -103,3 +103,31 @@ def test_additive_schema_evolution(spark, io, tmp_path):
     evolved = io.add_columns_read(target)
     assert set(evolved.columns) == {"id", "col_a", "col_new"}
     assert evolved.filter(F.col("col_new").isNull()).count() == 5
+
+
+def test_additive_schema_evolution_partitioned_buckets(spark, io, tmp_path):
+    """S12 as the INDEX-TABLE job shape (ref SearchService.cs:114-208):
+    a widened-schema batch lands in new buckets of an existing
+    partitioned table; add_columns_read must union the schemas (old
+    buckets -> NULL for the new column), and partition pruning must
+    still reach the scan for both generations."""
+    target = str(tmp_path / "evolved_idx")
+    v1 = spark.createDataFrame(
+        [(i % 2, f"u{i}", "t") for i in range(20)],
+        "bucket int, url string, text string",
+    )
+    io.write(v1, target, partition_by=("bucket",))
+    v2 = spark.createDataFrame(
+        [(2 + i % 2, f"v{i}", "t", "en") for i in range(10)],
+        "bucket int, url string, text string, lang string",
+    )
+    io.write(v2, target, partition_by=("bucket",), mode="append")
+    evolved = io.add_columns_read(target)
+    assert set(evolved.columns) == {"bucket", "url", "text", "lang"}
+    assert evolved.filter(F.col("lang").isNull()).count() == 20
+    assert evolved.filter(F.col("lang") == "en").count() == 10
+    # partition pruning survives the merged-schema read
+    pruned = evolved.filter(F.col("bucket") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 5
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
