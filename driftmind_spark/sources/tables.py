@@ -65,7 +65,15 @@ class TableIO:
         target: str,
         partition_by: tuple[str, ...] = (),
         mode: str = "overwrite",
+        pre_clustered: bool = False,
     ) -> None:
+        """``pre_clustered=True``: the caller guarantees rows are already
+        physically grouped by the partition key (e.g. a narrow map over a
+        table partitioned by the same key), so the defensive
+        ``repartition`` shuffle is skipped — each task then holds rows of
+        only the bucket(s) its input split came from and still writes one
+        file per (task, bucket).  Wrongly claiming it does not corrupt
+        data, it only fans out files (tasks × partitions)."""
         backend = self._resolved()
         if backend == "iceberg":
             writer = df.writeTo(target)
@@ -99,8 +107,15 @@ class TableIO:
             # cluster rows by the partition key first: otherwise every
             # task fans out across every partition directory and the job
             # commits tasks x partitions tiny files (measured 230s -> 36s
-            # on a 2.8M-row 64-bucket edges write)
-            df = df.repartition(*[df[c] for c in partition_by])
+            # on a 2.8M-row 64-bucket edges write).  Skipped when the
+            # caller attests the rows already arrive clustered (chunks/
+            # triples stages map 1:1 over the bucket-partitioned
+            # extracted table — a parquet split never crosses partition
+            # directories, so each task already holds one bucket and the
+            # repartition would shuffle the whole stage output for
+            # nothing).
+            if not pre_clustered:
+                df = df.repartition(*[df[c] for c in partition_by])
             w = df.write.mode(
                 "overwrite" if mode == "overwrite_partitions" else mode
             ).partitionBy(*partition_by)
