@@ -723,6 +723,17 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (round 3): deterministic spherical
+    k-means lists + n_probe query fan-out + exact cosine re-rank —
+    the inverted-list counterpart of ann_lsh's hyperplane tables."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb.filter(F.col("vec_id") >= 5),
+        k=10, n_centroids=16, n_probe=4,
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Full Manku blocking (round 3): max_hamming+1 disjoint bit blocks,
     guaranteed recall at hamming <= 3 (the WWW'07 production setting) —
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_mp": q_embedding_near_dups_mp,
         # migrations / evolution (runnable jobs, closed-form oracles)
@@ -1541,5 +1553,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": f"""
             select doc_a, doc_b, hamming
             from read_parquet('{_FIXDIR}/simhash_pairs.parquet')
+        """,
+        "ann_ivf": f"""
+            select query_id, vec_id, cosine, rank
+            from read_parquet('{_FIXDIR}/ann_ivf.parquet')
         """,
     }

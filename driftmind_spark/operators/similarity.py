@@ -111,6 +111,130 @@ def _bucket_ids_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     return pandas_udf(bucket_ids, "array<long>")
 
 
+def train_ivf_centroids(
+    sample, n_centroids: int = 16, n_iters: int = 5
+):
+    """Deterministic IVF coarse quantizer: spherical k-means (Lloyd on
+    l2-normalized vectors, cosine assignment) over a driver-side sample.
+    Pure numpy — the SAME function trains the oracle fixture, so Spark
+    and the reference implementation share centroids bit-for-bit.
+
+    Init: evenly spaced rows of the (vec_id-sorted) sample — no RNG, so
+    re-runs and the fixture generator agree.  Empty clusters keep their
+    previous centroid."""
+    import numpy as np
+
+    mat = np.asarray(sample, dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = (np.arange(n_centroids) * len(mat)) // n_centroids
+    cents = mat[idx].copy()
+    for _ in range(n_iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_assign(mat, cents, n_probe: int):
+    """Top-``n_probe`` nearest-centroid ids per row (pure numpy, shared
+    by the Spark UDF and the oracle fixture so tie behavior is
+    bit-identical)."""
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dots = mat @ cents.T
+    if n_probe == 1:
+        ids = dots.argmax(axis=1)[:, None]
+    else:
+        # argpartition then exact sort of the head: O(C) per row
+        head = np.argpartition(-dots, n_probe - 1, axis=1)[:, :n_probe]
+        order = np.take_along_axis(dots, head, axis=1).argsort(axis=1)[:, ::-1]
+        ids = np.take_along_axis(head, order, axis=1)
+    return ids.astype(np.int64)
+
+
+def _ivf_assign_udf(cents, n_probe: int):
+    """Arrow-batched wrapper of ``ivf_assign`` (one matmul per batch
+    against the broadcast centroid matrix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def assign(emb):
+        import numpy as np
+        import pandas as pd
+
+        ids = ivf_assign(np.stack(emb.to_numpy()), cents, n_probe)
+        return pd.Series(list(ids))
+
+    return pandas_udf(assign, "array<long>")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_mod: int = 1,
+    n_iters: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k (the coarse-quantizer counterpart of
+    ``lsh_topk``): corpus vectors land in their nearest centroid's
+    inverted list; queries probe their ``n_probe`` nearest lists; exact
+    cosine re-rank inside the probed lists.
+
+    Scale shape: the quantizer trains on a DETERMINISTIC bounded sample
+    (``vec_id % sample_mod == 0`` — size it so the sample stays ~10^5
+    rows at crawl scale; the collect is bounded by construction, not by
+    data), centroids broadcast inside the assignment UDF's closure, each
+    side scanned once, and the candidate join is an equi-join on
+    ``list_id`` — probe cost is |list| * n_probe instead of |corpus|."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.filter(F.col("vec_id") % sample_mod == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    cents = train_ivf_centroids(
+        np.array([r["embedding"] for r in sample_rows], dtype=np.float64),
+        n_centroids,
+        n_iters,
+    )
+    c_assign = _ivf_assign_udf(cents, 1)
+    q_assign = _ivf_assign_udf(cents, n_probe)
+    cb = corpus.select(
+        "vec_id",
+        _as_double("embedding").alias("cv"),
+        c_assign("embedding")[0].alias("list_id"),
+    )
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double("embedding").alias("qv"),
+        F.explode(q_assign("embedding")).alias("list_id"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "list_id")
+        .select(
+            "query_id", "vec_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos_raw", 4).alias("cosine"), "rank")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

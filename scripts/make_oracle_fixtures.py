@@ -259,6 +259,67 @@ def fixture_ann_lsh(embs: pa.Table, k: int = 10, dim: int = 64,
     )
 
 
+# ---- ann_ivf: IVF coarse-quantizer approximate top-k ----------------------
+
+def fixture_ivf_topk(embs: pa.Table, k: int = 10, n_centroids: int = 16,
+                     n_probe: int = 4) -> pa.Table:
+    """Mirror of operators/similarity.ivf_topk: SAME training function
+    (train_ivf_centroids) and SAME assignment function (ivf_assign), so
+    centroids and probed lists match bit-for-bit; exact cosine re-rank
+    uses the JVM fold order (fold_cosine64 conventions above)."""
+    from driftmind_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    ids = embs.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in
+            embs.column("embedding").to_pylist()]
+
+    def fold_cosine64(a, b):
+        dot = 0.0
+        for p in (a * b):
+            dot += float(p)
+        na = sum(float(v * v) for v in a)
+        nb = sum(float(v * v) for v in b)
+        na, nb = np.sqrt(na), np.sqrt(nb)
+        return 0.0 if (na == 0.0 or nb == 0.0) else dot / float(na * nb)
+
+    queries = [(i, v) for i, v in zip(ids, vecs) if i < 5]
+    corpus = sorted(
+        ((i, v) for i, v in zip(ids, vecs) if i >= 5), key=lambda r: r[0]
+    )
+    cents = train_ivf_centroids(
+        np.array([v for _, v in corpus]), n_centroids
+    )
+    c_lists = ivf_assign(np.array([v for _, v in corpus]), cents, 1)[:, 0]
+    out_q, out_v, out_c, out_r = [], [], [], []
+    for qid, qv in queries:
+        probes = set(ivf_assign(qv[None, :], cents, n_probe)[0].tolist())
+        cand = [
+            (cid, cv)
+            for (cid, cv), lst in zip(corpus, c_lists)
+            if int(lst) in probes
+        ]
+        scored = sorted(
+            ((fold_cosine64(qv, cv), cid) for cid, cv in cand),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        for rank, (cos, cid) in enumerate(scored, start=1):
+            out_q.append(qid)
+            out_v.append(cid)
+            out_c.append(_round_spark(cos, 4))
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
 # ---- simhash_pairs: Manku-blocked SimHash near-dups ----------------------
 
 def fixture_simhash_pairs(docs: pa.Table, max_hamming: int = 3,
@@ -338,6 +399,7 @@ def main() -> None:
     _write("ann_lsh", fixture_ann_lsh(embs))
     _write("simhash_pairs", fixture_simhash_pairs(docs))
     _write("hmac_tokens", fixture_hmac_tokens(docs))
+    _write("ann_ivf", fixture_ivf_topk(embs))
 
 
 if __name__ == "__main__":

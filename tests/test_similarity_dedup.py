@@ -341,3 +341,35 @@ def test_simhash_hot_block_cap(spark):
         .select("doc_a", "doc_b")
     )
     assert out == {(900, 901)}
+
+
+def test_ivf_topk_recall_on_clustered_data(spark, clustered_embeddings):
+    """IVF coarse-quantizer ANN: with enough centroids and probes the
+    probed lists must recover the brute-force neighbors on clustered
+    data (same bar as lsh_topk)."""
+    from driftmind_spark.operators.similarity import ivf_topk
+
+    emb = clustered_embeddings
+    q = emb.filter(F.col("vec_id") % 40 == 0)  # one query per cluster
+    c = emb.filter(F.col("vec_id") % 40 != 0)
+    bf = _pairs(brute_force_topk(q, c, k=10).select("query_id", "vec_id"))
+    ivf = _pairs(
+        ivf_topk(q, c, k=10, n_centroids=10, n_probe=3)
+        .select("query_id", "vec_id")
+    )
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Same sample -> same centroids (no RNG anywhere): the oracle
+    fixture and the operator must always agree."""
+    import numpy as np
+
+    from driftmind_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.RandomState(21)
+    sample = rng.randn(200, 32)
+    c1 = train_ivf_centroids(sample, 8)
+    c2 = train_ivf_centroids(sample.copy(), 8)
+    assert np.array_equal(c1, c2)
