@@ -97,9 +97,18 @@ def connected_components(
     alternating large/small-star path runs; both elect component = min
     id, so the output is identical either way (property-tested)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    if small_graph_threshold and e.limit(small_graph_threshold + 1).count() \
-            <= small_graph_threshold:
-        rows = e.collect()
+    rows = None
+    if small_graph_threshold:
+        # ONE action decides the path AND fetches the edges: collecting
+        # limit(threshold+1) costs the same scan the old count did, but
+        # the old code then collected AGAIN — and upstream of this DF sit
+        # the linking UDF stages, so every extra action re-ran them
+        # (measured: the 100k-page nodes stage spent ~11 s in CC for a
+        # 64-edge graph, almost all of it recomputing lineage).
+        rows = e.limit(small_graph_threshold + 1).collect()
+        if len(rows) > small_graph_threshold:
+            rows = None  # true web-scale graph: distributed path below
+    if rows is not None:
         parent: dict = {}
 
         def find(x):

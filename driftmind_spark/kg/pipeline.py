@@ -179,8 +179,12 @@ def run(
     if not ln.stage_marker_done(spark, out_dir, run_id, "nodes"):
         mentions = mentions_from_triples(triples).cache()
         pairs = candidate_pairs(mentions)
+        # the link-edge list is dictionary-sized (LSH-capped pairs over
+        # distinct surfaces) but its lineage holds every linking UDF
+        # stage — cache it so CC's path-decision collect doesn't re-run
+        # the banding/jaccard/embedding work
         link_edges = all_link_edges(mentions, aliases, pairs,
-                                    embedding_dim=embedding_dim)
+                                    embedding_dim=embedding_dim).cache()
         components = connected_components(
             mentions.select("mention_id"), link_edges
         )
@@ -204,6 +208,7 @@ def run(
             spark, out_dir, run_id, "nodes_components", n_components
         )
         ln.commit_global_stage(spark, out_dir, run_id, "nodes", n_nodes)
+        link_edges.unpersist()
         mentions.unpersist()
     nodes = spark.read.parquet(nodes_path)
     metrics["nodes"] = ln.committed_row_count(spark, out_dir, run_id, "nodes")
