@@ -267,3 +267,20 @@ def test_resume_skips_completed_buckets(spark, pages_dir, tmp_path_factory):
         .groupBy("stage", "bucket").count().filter(F.col("count") > 1).count()
     )
     assert dupes == 0
+
+
+def test_aligned_write_no_file_fanout(pipeline_out):
+    """pre_clustered write (r3): the chunks/triples stages inherit the
+    extracted table's bucket clustering, so skipping the repartition
+    must NOT fan files out to tasks x buckets — each bucket directory
+    stays at ~one file per contributing input split."""
+    import glob
+
+    out, _ = pipeline_out
+    for table in ("chunks", "triples"):
+        files = glob.glob(f"{out}/{table}/bucket=*/*.parquet")
+        buckets = glob.glob(f"{out}/{table}/bucket=*")
+        assert len(buckets) > 0
+        assert len(files) <= 4 * len(buckets), (
+            f"{table}: {len(files)} files over {len(buckets)} buckets"
+        )
