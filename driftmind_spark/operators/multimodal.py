@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/feature-extract kernels are STUBBED (no image/audio libraries
-in this container — see the clearly marked seams below), but everything
-Spark-side is real and tested: schemas, Arrow batch shapes, mapInPandas
-iteration, partition sizing.  Swapping the stub for Pillow/librosa is a
-one-function change that does not touch the plan.
+Header-level metadata is decoded FOR REAL with pure struct (no media
+library): PNG IHDR, GIF logical screen descriptor, JPEG SOF marker scan
+(width/height), RIFF/WAVE fmt+data chunks (duration/rate/channels), and
+ISO-BMFF moov/mvhd (mp4 duration).  Only pixel/sample decode
+(resize, feature-extract, frame decode) remains stubbed — no
+image/audio libraries in this container; see the marked seams below.
+Everything Spark-side is real and tested: schemas, Arrow batch shapes,
+mapInPandas iteration, partition sizing.  Swapping the stub for
+Pillow/ffmpeg is a one-function change that does not touch the plan.
 
 Design notes for 100 TB of media:
 - media bytes ride in their own column family (Parquet: separate column
@@ -41,6 +45,10 @@ MEDIA_META_SCHEMA = StructType(
         StructField("format", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        # audio/video stream properties (NULL for still images)
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
         StructField("sha", StringType(), False),
     ]
 )
@@ -57,8 +65,6 @@ _MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"\x89PNG": "png",
     b"GIF8": "gif",
-    b"RIFF": "riff",
-    b"\x00\x00\x00": "mp4?",
 }
 
 
@@ -66,6 +72,14 @@ def _sniff_format(data: bytes) -> str | None:
     for magic, fmt in _MAGIC.items():
         if data[: len(magic)] == magic:
             return fmt
+    if data[:4] == b"RIFF":
+        if data[8:12] == b"WAVE":
+            return "wav"
+        if data[8:12] == b"AVI ":
+            return "avi"
+        return "riff"
+    if data[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -89,6 +103,71 @@ def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
             return int(w), int(h)
         i += 2 + seg_len
     raise ValueError("no SOF marker found")
+
+
+def _wav_properties(data: bytes) -> tuple[int | None, int | None, int | None]:
+    """(duration_ms, sample_rate, channels) from a RIFF/WAVE header:
+    walk the chunk list to 'fmt ' (rate/channels/byte-rate) and 'data'
+    (payload size) — pure struct, no audio library."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(data)
+    rate = channels = byte_rate = data_size = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        if cid == b"fmt " and pos + 16 <= n:
+            channels, rate, byte_rate = struct.unpack(
+                "<HII", data[pos + 10:pos + 20]
+            )
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("no fmt chunk")
+    dur = (
+        int(data_size * 1000 / byte_rate)
+        if (data_size is not None and byte_rate) else None
+    )
+    return dur, int(rate), int(channels)
+
+
+def _mp4_duration_ms(data: bytes) -> int:
+    """Duration from the ISO-BMFF 'moov/mvhd' box (version 0 or 1):
+    scan top-level boxes to 'moov', then its children to 'mvhd', read
+    (timescale, duration) — pure struct, no video library."""
+
+    def walk(lo: int, hi: int, name: bytes):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", data[pos:pos + 4])[0]
+            box = data[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                hdr = 16
+            if size < hdr or pos + size > hi:
+                break
+            if box == name:
+                return pos + hdr, pos + size
+            pos += size
+        return None
+
+    moov = walk(0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    mvhd = walk(moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("no mvhd box")
+    lo, _ = mvhd
+    version = data[lo]
+    if version == 1:
+        timescale, duration = struct.unpack(">IQ", data[lo + 20:lo + 32])
+    else:
+        timescale, duration = struct.unpack(">II", data[lo + 12:lo + 20])
+    if not timescale:
+        raise ValueError("zero timescale")
+    return int(duration * 1000 / timescale)
 
 
 def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
@@ -119,17 +198,27 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob)
+                fmt = _sniff_format(data)
+                w = h = dur = rate = chans = None
                 try:
-                    w, h = _decode_dimensions(data)
+                    if fmt == "wav":
+                        dur, rate, chans = _wav_properties(data)
+                    elif fmt == "mp4":
+                        dur = _mp4_duration_ms(data)
+                    else:
+                        w, h = _decode_dimensions(data)
                 except (NotImplementedError, ValueError, struct.error):
-                    w, h = None, None  # undecodable/truncated header
+                    pass  # undecodable/truncated header -> NULL columns
                 rows.append(
                     {
                         "media_id": str(mid),
                         "n_bytes": len(data),
-                        "format": _sniff_format(data),
+                        "format": fmt,
                         "width": w,
                         "height": h,
+                        "duration_ms": dur,
+                        "sample_rate": rate,
+                        "channels": chans,
                         "sha": hashlib.sha256(data).hexdigest(),
                     }
                 )

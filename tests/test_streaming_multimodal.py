@@ -211,3 +211,46 @@ def test_stream_new_versions_stateful_gate(spark, tmp_path_factory):
     batch = new_versions_batch(spark.read.parquet(src))
     assert batch.filter("url = 'u3'").count() == 1
     assert batch.filter("url = 'u1'").count() == 4  # includes the late row
+
+
+def test_media_metadata_stdlib_decoders(spark):
+    """Round-3 pure-stdlib header decoders: JPEG SOF scan, GIF logical
+    screen descriptor, WAV fmt/data chunks, MP4 mvhd duration — real
+    values, no image/audio library."""
+    import struct
+
+    # minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=33 w=49, EOI
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 33, 49) + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    # WAV: 2ch 8000Hz 16-bit -> byte_rate 32000; 16000-byte data = 500ms
+    wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", 16000) + b"\x00" * 16000)
+    # MP4: ftyp box + moov{mvhd v0 timescale=1000 duration=2500}
+    mvhd = (b"mvhd" + b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 2500)
+            + b"\x00" * 80)
+    mvhd_box = struct.pack(">I", 4 + len(mvhd)) + mvhd  # mvhd holds type+payload
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    mp4 = struct.pack(">I", 20) + b"ftypisom" + b"\x00" * 8 + moov
+
+    df = spark.createDataFrame(
+        [("j", bytearray(jpeg)), ("g", bytearray(gif)),
+         ("w", bytearray(wav)), ("v", bytearray(mp4))],
+        "media_id string, blob binary",
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert meta["j"]["format"] == "jpeg"
+    assert (meta["j"]["width"], meta["j"]["height"]) == (49, 33)
+    assert meta["g"]["format"] == "gif"
+    assert (meta["g"]["width"], meta["g"]["height"]) == (320, 200)
+    assert meta["w"]["format"] == "wav"
+    assert meta["w"]["duration_ms"] == 500
+    assert meta["w"]["sample_rate"] == 8000 and meta["w"]["channels"] == 2
+    assert meta["v"]["format"] == "mp4"
+    assert meta["v"]["duration_ms"] == 2500
