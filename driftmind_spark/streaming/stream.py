@@ -80,6 +80,38 @@ def stream_chunks(
     )
 
 
+def stream_triples(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 8,
+):
+    """pages stream -> OpenIE triples, appended in the batch pipeline's
+    triples-table layout (bucket = hash(url) % n_buckets): incremental
+    KG ingestion — a crawl feed extends the triples table continuously,
+    and the batch nodes/edges stages (blocking, linking, CC,
+    canonicalization) run periodically over the growing table.  The
+    extraction kernel is the SAME stateless mapInArrow expression the
+    batch stage uses, so both modes emit identical triples per page."""
+    from ..kg.lineage import bucket_col
+    from ..kg.triples import extract_triples_df
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_triples_df(batch_df).withColumn(
+            "bucket", bucket_col("url", n_buckets)
+        )
+        triples.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        pages_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedupe_pages(
     pages_stream: DataFrame,
     out_path: str,

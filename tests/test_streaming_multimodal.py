@@ -254,3 +254,28 @@ def test_media_metadata_stdlib_decoders(spark):
     assert meta["w"]["sample_rate"] == 8000 and meta["w"]["channels"] == 2
     assert meta["v"]["format"] == "mp4"
     assert meta["v"]["duration_ms"] == 2500
+
+
+def test_stream_triples_matches_batch(spark, stream_corpus, tmp_path_factory):
+    """Incremental KG ingestion: the streaming triples stage must emit
+    EXACTLY the batch stage's triples (same kernel, same bucket layout),
+    accumulated across micro-batches."""
+    from driftmind_spark.kg.triples import extract_triples_df
+    from driftmind_spark.streaming.stream import stream_triples
+
+    out = str(tmp_path_factory.mktemp("stream_triples_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tr"))
+    q = stream_triples(
+        read_pages_stream(spark, stream_corpus, max_files_per_trigger=1),
+        out, ckpt, n_buckets=8,
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out)
+    assert streamed.select("batch_id").distinct().count() > 1
+    assert streamed.select("bucket").distinct().count() > 1
+
+    batch = extract_triples_df(spark.read.parquet(stream_corpus))
+    cols = ["url", "subj", "pred", "obj"]
+    s_fp = streamed.select(*cols).sort(*cols).collect()
+    b_fp = batch.select(*cols).sort(*cols).collect()
+    assert s_fp == b_fp
