@@ -1,10 +1,14 @@
 """Deduplication operators for training-data pipelines: exact,
 n-gram-Jaccard, portable-MinHash-LSH, SimHash, embedding-cosine.
 
-Scale design: every variant is blocked — no unblocked O(n^2) pair
-generation anywhere.  Exact dedup is one hash aggregation; Jaccard and
-cosine near-dup run inside LSH/length blocks; SimHash pairs join on
-rotated prefix bands (Manku et al., WWW'07 style).
+Scale design: every variant is blocked AND capped — no unblocked O(n^2)
+pair generation anywhere, and every block family has a hot-bucket cap
+with a ``*_stats`` observability frame (no silent truncation).  Exact
+dedup is one hash aggregation; n-gram Jaccard runs an inverted-index
+postings join with a gram-df cap; MinHash-LSH bands are capped
+equi-join keys; SimHash blocks on max_hamming+1 disjoint bit blocks
+(Manku et al., WWW'07 — pigeonhole-guaranteed recall); embedding
+near-dups block on hyperplane-LSH sign signatures.
 
 The md5-based MinHash here is deliberately *portable SQL* (same
 arithmetic runs in the DuckDB oracle); the high-throughput numpy MinHash
