@@ -149,8 +149,11 @@ def ivf_assign(mat, cents, n_probe: int):
     mat = np.asarray(mat, dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     dots = mat @ cents.T
+    n_probe = min(n_probe, dots.shape[1])  # can't probe more lists than exist
     if n_probe == 1:
         ids = dots.argmax(axis=1)[:, None]
+    elif n_probe == dots.shape[1]:
+        ids = (-dots).argsort(axis=1)  # probe every list, ranked
     else:
         # argpartition then exact sort of the head: O(C) per row
         head = np.argpartition(-dots, n_probe - 1, axis=1)[:, :n_probe]

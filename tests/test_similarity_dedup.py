@@ -373,3 +373,57 @@ def test_ivf_centroids_deterministic(spark):
     c1 = train_ivf_centroids(sample, 8)
     c2 = train_ivf_centroids(sample.copy(), 8)
     assert np.array_equal(c1, c2)
+
+
+def test_simhash_manku_equals_bruteforce_property(spark):
+    """Property check of the pigeonhole guarantee across max_hamming
+    settings: for random-plus-planted hash populations, Manku blocking +
+    exact verify must equal all-pairs brute force EXACTLY (no recall
+    loss, no spurious pairs), for every k."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    for k in (1, 3, 5, 7):
+        vals = {}
+        did = 0
+        for _ in range(25):
+            h = rng.getrandbits(64)
+            vals[did] = h
+            did += 1
+            # planted near-dup: flip up to k random bit positions
+            flipped = h
+            for b in rng.sample(range(64), rng.randint(1, k)):
+                flipped ^= 1 << b
+            vals[did] = flipped
+            did += 1
+        hashed = spark.createDataFrame(
+            [(i, _to_i64(h)) for i, h in vals.items()],
+            "doc_id long, simhash long",
+        )
+        got = _pairs(
+            dd.simhash_pairs_from_hashes(hashed, max_hamming=k)
+            .select("doc_a", "doc_b")
+        )
+        truth = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(vals), 2)
+            if bin(vals[a] ^ vals[b]).count("1") <= k
+        }
+        assert got == truth, f"k={k}: missed {len(truth - got)}, spurious {len(got - truth)}"
+
+
+def test_ivf_assign_probe_clamp(spark):
+    """n_probe >= n_centroids must degrade to probing every list (ranked),
+    never an argpartition index error."""
+    import numpy as np
+
+    from driftmind_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    rng = np.random.RandomState(4)
+    sample = rng.randn(50, 16)
+    cents = train_ivf_centroids(sample, 4)
+    ids = ivf_assign(sample[:5], cents, n_probe=10)
+    assert ids.shape == (5, 4)
+    for row in ids:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
