@@ -407,14 +407,23 @@ def q_s12_evolution(spark, sf_dir):
     a new ``lang`` column through the same TableIO the pipeline uses,
     read back via ``add_columns_read`` — old rows must surface NULL for
     the evolved column.  Closed-form oracle: the split rule is
-    deterministic in doc_id."""
+    deterministic in doc_id.
+
+    Scratch dir is FIXED per (process, sf_dir) so repeated invocations
+    (correctness + bench + plan sweeps in one run) overwrite in place
+    instead of leaking a new /tmp tree each call (round-4 advice)."""
+    import hashlib
     import os
     import tempfile
 
     from driftmind_spark.sources.tables import TableIO
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    target = os.path.join(tempfile.mkdtemp(prefix="dm_s12_"), "docs_meta")
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"dm_s12_{os.getpid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    target = os.path.join(scratch, "docs_meta")
     io = TableIO(spark, backend="parquet")
     io.write(d.filter(F.col("doc_id") % 2 == 0), target)
     io.write(
@@ -942,43 +951,25 @@ def _hyperplane_near_dup_sql(
     n_probes: int = 1,
     max_bucket_size: int = 1024,
 ) -> str:
-    """DuckDB mirror of operators/dedup.embedding_near_dups: the SAME
-    deterministic ±1 hyperplane coefficients the pandas UDF computes
-    (similarity._hyperplane_coeffs) are embedded as list literals; the
-    bucket key (table_idx * 2^n_planes + Σ sign_bit<<p), the multi-probe
-    flip (xor with 1 << argmin |dot|), and the hot-bucket cap are rebuilt
-    in SQL so both engines block identically."""
-    from driftmind_spark.operators.similarity import _hyperplane_coeffs
-
-    coeffs = _hyperplane_coeffs(dim, n_planes, n_tables, seed)
-    legs = []
-    for t in range(n_tables):
-        dots = []
-        for p in range(n_planes):
-            lits = ",".join(str(int(c)) for c in coeffs[t * n_planes + p])
-            dots.append(f"list_dot_product(vec, [{lits}]::double[])")
-        bucket = " + ".join(
-            f"(case when {d} >= 0 then {1 << p} else 0 end)"
-            for p, d in enumerate(dots)
-        )
-        base = t * (1 << n_planes)
-        legs.append(
-            f"select vec_id, vec, {base} + ({bucket}) as bucket_key from v"
-        )
-        if n_probes >= 2:
-            dl = "[" + ",".join(f"abs({d})" for d in dots) + "]"
-            flip = f"(1 << (list_position({dl}, list_min({dl})) - 1))"
-            legs.append(
-                f"select vec_id, vec, {base} + xor({bucket}, {flip})"
-                f" as bucket_key from v"
-            )
-    union = "\n                union all\n                ".join(legs)
+    """DuckDB mirror of operators/dedup.embedding_near_dups.  Round 4:
+    the blocking keys are no longer REBUILT in SQL (list_dot_product's
+    summation order could flip the sign of a near-zero dot, or the
+    argmin-|dot| probe index, vs numpy's) — the per-vector bucket keys
+    are a fixture computed by the SAME pure-numpy function the Spark UDF
+    wraps (hyperplane_bucket_keys, via scripts/make_oracle_fixtures.py),
+    so both engines block identically BY CONSTRUCTION.  The hot-bucket
+    cap, candidate self-join, exact-cosine verification and threshold
+    remain independent DuckDB SQL."""
     return f"""
             with v as (
                 select vec_id, embedding::double[] as vec from embeddings
             ),
             keys as (
-                {union}
+                select v.vec_id, v.vec, b.bucket_key
+                from v
+                join read_parquet(
+                    '{_FIXDIR}/hyperplane_buckets_p{n_probes}.parquet'
+                ) b using (vec_id)
             ),
             capped as (
                 select vec_id, vec, bucket_key from (

@@ -269,17 +269,20 @@ def _executor_leg(
     tag = tempfile.mkdtemp(prefix="dm_exec_")
     ready, go = os.path.join(tag, "ready"), os.path.join(tag, "go")
     ballast_procs = []
-    if ballast:
-        for off in range(n_execs * cores, n_shards * cores, cores):
-            ballast_procs.append(subprocess.Popen(
-                [sys.executable,
-                 os.path.join(REPO, "scripts", "hw_control.py"), "--ballast",
-                 os.path.join(corpus, "pages.parquet"), "24000",
-                 str(cores), str(off)],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            ))
     procs = []
     try:
+        # ballast spawns INSIDE the try: a Popen failure mid-loop must
+        # still reach the finally that terminates the already-started
+        # cpu-spinning ballast children (round-4 advice)
+        if ballast:
+            for off in range(n_execs * cores, n_shards * cores, cores):
+                ballast_procs.append(subprocess.Popen(
+                    [sys.executable,
+                     os.path.join(REPO, "scripts", "hw_control.py"), "--ballast",
+                     os.path.join(corpus, "pages.parquet"), "24000",
+                     str(cores), str(off)],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                ))
         for shard in range(n_execs):
             code = _EXECUTOR_SNIPPET.format(
                 repo=REPO, shard=shard, n_shards=n_shards, cores=cores,
@@ -409,14 +412,16 @@ def _run_executor_scaling(n_docs: int, rounds: int = EXEC_ROUNDS) -> dict:
     out["normalized_efficiency"] = round(
         _median([r["normalized_efficiency"] for r in out["rounds"]]), 3
     )
-    out["n1"] = max(
-        (r["n1"] for r in out["rounds"]),
-        key=lambda leg: leg["agg_docs_per_sec"],
+    # summary legs come from the MEDIAN round, so n1/n4 reproduce the
+    # reported efficiency (round 4 — the r3 summary took each leg's
+    # best-throughput round, which generally differ from the median's)
+    med = out["efficiency_1_to_4_executors"]
+    med_round = min(
+        out["rounds"],
+        key=lambda r: abs(r["efficiency_1_to_4_executors"] - med),
     )
-    out["n4"] = max(
-        (r["n4"] for r in out["rounds"]),
-        key=lambda leg: leg["agg_docs_per_sec"],
-    )
+    out["n1"] = med_round["n1"]
+    out["n4"] = med_round["n4"]
     return out
 
 

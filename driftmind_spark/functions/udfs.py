@@ -78,11 +78,21 @@ def normalize_for_caching_udf(text: pd.Series) -> pd.Series:
 
 
 def make_embed_udf(dim: int = 256):
+    """Round 4: batched — ONE ``hashed_ngram_embeddings_batch`` call over
+    the batch's DISTINCT texts (bit-identical to the scalar kernel; see
+    its docstring) instead of a per-row ``text.map``.  Link-scoring
+    batches repeat surfaces heavily (LSH pairs over a Zipf dictionary),
+    so the distinct-dedup does most of the work reduction."""
+
     @pandas_udf(ArrayType(FloatType()))
     def embed_udf(text: pd.Series) -> pd.Series:
-        return text.map(
-            lambda t: hk.hashed_ngram_embedding(t or "", dim).tolist()
-        )
+        vals = ["" if t is None else t for t in text]
+        uniq = list(dict.fromkeys(vals))
+        mat = hk.hashed_ngram_embeddings_batch(uniq, dim)
+        idx = {t: i for i, t in enumerate(uniq)}
+        take = np.fromiter((idx[t] for t in vals), dtype=np.int64,
+                           count=len(vals))
+        return pd.Series(list(mat[take]))
 
     return embed_udf
 

@@ -70,13 +70,20 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduped across bands."""
     banded = banded_mentions(mentions, num_perm, bands, shingle_k, seed)
-    sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count("*").alias("bucket_size")
+    # anti-join against the HOT buckets only (same pattern as
+    # operators/dedup.py): the over-cap list is tiny by construction — a
+    # few degenerate surface clusters — so it broadcasts, instead of the
+    # round-2 inner join that shuffled the FULL bucket-size dictionary
+    # alongside the banded stream.
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .select("band_idx", "band_hash")
     )
     banded = banded.join(
-        sizes.filter(F.col("bucket_size") <= max_bucket_size),
-        ["band_idx", "band_hash"],
-    ).drop("bucket_size")
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -442,38 +442,49 @@ def simhash_hot_block_stats(
     )
 
 
+def hyperplane_bucket_keys(
+    mat, dim: int, n_planes: int, n_tables: int, seed: int, n_probes: int
+):
+    """Pure-numpy hyperplane-LSH bucket keys, shape ``(n, n_tables *
+    n_probes)``: key = ``table_idx * 2^n_planes + bucket``.  SHARED by
+    the Spark UDF and the oracle fixture generator (round 4) so both
+    engines block on byte-identical keys — near-zero dot products whose
+    sign could differ between numpy's and DuckDB's summation order can
+    no longer flake the oracle.  With ``n_probes=2`` each vector also
+    probes the bucket with its LEAST-CONFIDENT sign bit flipped
+    (argmin |dot|, classic multi-probe LSH)."""
+    import numpy as np
+
+    from .similarity import _hyperplane_coeffs
+
+    coeffs = _hyperplane_coeffs(dim, n_planes, n_tables, seed)
+    mat = np.asarray(mat, dtype=np.float64)
+    dots = (mat @ coeffs.T).reshape(len(mat), n_tables, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = ((dots >= 0) * weights).sum(axis=2)      # (n, tables)
+    base = (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+    out = base + buckets
+    if n_probes >= 2:
+        flip = np.int64(1) << np.abs(dots).argmin(axis=2)
+        out = np.concatenate([out, base + (buckets ^ flip)], axis=1)
+    return out
+
+
 def _near_dup_key_udf(
     dim: int, n_planes: int, n_tables: int, seed: int, n_probes: int
 ):
-    """Vectorized hyperplane-LSH bucket keys for near-dup blocking: a
-    pandas UDF returning ``array<long>`` of ``n_tables * n_probes`` keys
-    per vector, key = ``table_idx * 2^n_planes + bucket``.
-
-    One matmul per Arrow batch computes every table's sign signature at
-    once (the same coefficient machinery as similarity.lsh_topk —
-    deterministic ±1 planes from stable_hash64).  With ``n_probes=2``
-    each vector also probes the bucket with its LEAST-CONFIDENT sign bit
-    flipped (argmin |dot|, classic multi-probe LSH): near-duplicates
-    land on opposite sides of the plane they are closest to, and the
-    flip catches exactly that failure mode at 2x candidate cost."""
+    """Arrow-batched wrapper of :func:`hyperplane_bucket_keys` (one
+    matmul per batch — the same coefficient machinery as
+    similarity.lsh_topk, deterministic ±1 planes from stable_hash64)."""
     from pyspark.sql.functions import pandas_udf
-
-    from .similarity import _hyperplane_coeffs
 
     def keys(emb):
         import numpy as np
         import pandas as pd
 
-        coeffs = _hyperplane_coeffs(dim, n_planes, n_tables, seed)
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        dots = (mat @ coeffs.T).reshape(len(mat), n_tables, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        buckets = ((dots >= 0) * weights).sum(axis=2)      # (n, tables)
-        base = (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
-        out = base + buckets
-        if n_probes >= 2:
-            flip = np.int64(1) << np.abs(dots).argmin(axis=2)
-            out = np.concatenate([out, base + (buckets ^ flip)], axis=1)
+        out = hyperplane_bucket_keys(
+            np.stack(emb.to_numpy()), dim, n_planes, n_tables, seed, n_probes
+        )
         return pd.Series(list(out))
 
     return pandas_udf(keys, "array<long>")

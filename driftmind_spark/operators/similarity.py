@@ -183,27 +183,44 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     n_iters: int = 5,
+    max_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k (the coarse-quantizer counterpart of
     ``lsh_topk``): corpus vectors land in their nearest centroid's
     inverted list; queries probe their ``n_probe`` nearest lists; exact
     cosine re-rank inside the probed lists.
 
-    Scale shape: the quantizer trains on a DETERMINISTIC bounded sample
-    (``vec_id % sample_mod == 0`` — size it so the sample stays ~10^5
-    rows at crawl scale; the collect is bounded by construction, not by
-    data), centroids broadcast inside the assignment UDF's closure, each
-    side scanned once, and the candidate join is an equi-join on
-    ``list_id`` — probe cost is |list| * n_probe instead of |corpus|."""
+    Scale shape: the quantizer trains on a DETERMINISTIC BOUNDED sample
+    (``vec_id % sample_mod == 0``).  By default ``sample_mod`` is derived
+    from the corpus row count so the driver collect lands at
+    ``<= max_sample_rows`` regardless of corpus size — at crawl scale
+    that is ~10^5 rows, never the corpus.  A hard guard raises if the
+    collected sample still exceeds the cap (possible only when the
+    caller forces ``sample_mod`` too small, or the ``vec_id`` space is
+    pathologically clustered on multiples of the mod).  Centroids
+    broadcast inside the assignment UDF's closure, each side is scanned
+    once, and the candidate join is an equi-join on ``list_id`` — probe
+    cost is |list| * n_probe instead of |corpus|."""
     import numpy as np
 
+    if sample_mod is None:
+        # ceil(count / cap): for a dense 0..n-1 vec_id space the mod
+        # filter then keeps ceil(n / mod) <= max_sample_rows rows.
+        n = corpus.count()
+        sample_mod = max(1, -(-n // max_sample_rows))
     sample_rows = (
         corpus.filter(F.col("vec_id") % sample_mod == 0)
         .select("vec_id", "embedding")
         .collect()
     )
+    if len(sample_rows) > max_sample_rows:
+        raise ValueError(
+            f"ivf_topk training sample ({len(sample_rows)} rows) exceeds "
+            f"max_sample_rows={max_sample_rows}; raise sample_mod (got "
+            f"{sample_mod}) or the cap — refusing an unbounded driver collect"
+        )
     sample_rows.sort(key=lambda r: r["vec_id"])
     cents = train_ivf_centroids(
         np.array([r["embedding"] for r in sample_rows], dtype=np.float64),

@@ -54,6 +54,25 @@ def read_pages_stream(
     )
 
 
+def _write_batch_idempotent(df: DataFrame, out_path: str, batch_id: int) -> None:
+    """Exactly-once foreachBatch sink: partition by ``batch_id`` and
+    DYNAMICALLY overwrite that one partition.  A blind ``append`` is only
+    at-least-once — if the process dies between a successful append and
+    the checkpoint commit, Structured Streaming retries the micro-batch
+    with the SAME batch_id and a plain append would duplicate every row
+    in it.  Overwriting the batch's own partition makes the retry replace
+    its partial output instead (foreachBatch batch_ids are stable across
+    retries — the documented exactly-once recipe); other batches'
+    partitions are untouched."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+
+
 def stream_chunks(
     pages_stream: DataFrame,
     out_path: str,
@@ -61,16 +80,14 @@ def stream_chunks(
     chunk_size: int = 300,
     overlap: int = 20,
 ):
-    """pages stream -> chunk rows, appended via foreachBatch (the same
-    sink layout as the batch pipeline, so downstream consumers can't
-    tell which mode produced the table)."""
+    """pages stream -> chunk rows, written via the idempotent foreachBatch
+    sink (the same sink layout as the batch pipeline, so downstream
+    consumers can't tell which mode produced the table)."""
     from ..operators.chunking import build_chunks
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         chunks = build_chunks(batch_df, chunk_size, overlap, with_embeddings=False)
-        chunks.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_path
-        )
+        _write_batch_idempotent(chunks, out_path, batch_id)
 
     return (
         pages_stream.writeStream.foreachBatch(_sink)
@@ -100,9 +117,7 @@ def stream_triples(
         triples = extract_triples_df(batch_df).withColumn(
             "bucket", bucket_col("url", n_buckets)
         )
-        triples.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        _write_batch_idempotent(triples, out_path, batch_id)
 
     return (
         pages_stream.writeStream.foreachBatch(_sink)

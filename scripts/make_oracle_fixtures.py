@@ -361,6 +361,37 @@ def fixture_simhash_pairs(docs: pa.Table, max_hamming: int = 3,
     )
 
 
+# ---- hyperplane_buckets: embedding near-dup blocking keys -----------------
+
+def fixture_hyperplane_buckets(embs: pa.Table, n_probes: int,
+                               dim: int = 64, n_planes: int = 6,
+                               n_tables: int = 4, seed: int = 7) -> pa.Table:
+    """Per-vector hyperplane-LSH bucket keys, computed by the SAME
+    pure-numpy function the Spark UDF wraps
+    (operators/dedup.hyperplane_bucket_keys).  Round 4: the oracle SQL
+    previously REBUILT the sign bits with DuckDB's list_dot_product —
+    structurally flaky for near-zero dots whose sign depends on
+    summation order.  Joining these literal keys removes the
+    cross-engine float dependency entirely; cosine verification stays
+    independent SQL."""
+    from driftmind_spark.operators.dedup import hyperplane_bucket_keys
+
+    ids = embs.column("vec_id").to_pylist()
+    mat = np.array(embs.column("embedding").to_pylist(), dtype=np.float64)
+    keys = hyperplane_bucket_keys(mat, dim, n_planes, n_tables, seed, n_probes)
+    out_id, out_key = [], []
+    for vid, row in zip(ids, keys):
+        for k in row:
+            out_id.append(vid)
+            out_key.append(int(k))
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "bucket_key": pa.array(out_key, pa.int64()),
+        }
+    )
+
+
 # ---- hmac_tokens: F12 secure-token sign/verify ----------------------------
 
 def fixture_hmac_tokens(docs: pa.Table) -> pa.Table:
@@ -400,6 +431,8 @@ def main() -> None:
     _write("simhash_pairs", fixture_simhash_pairs(docs))
     _write("hmac_tokens", fixture_hmac_tokens(docs))
     _write("ann_ivf", fixture_ivf_topk(embs))
+    _write("hyperplane_buckets_p1", fixture_hyperplane_buckets(embs, 1))
+    _write("hyperplane_buckets_p2", fixture_hyperplane_buckets(embs, 2))
 
 
 if __name__ == "__main__":

@@ -84,6 +84,21 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_registry_at_driver_recording_cap():
+    """The driver records AT MOST 50 queries in dict order (observed in
+    round 2: the 51st entry, kg_nodes, silently vanished from the
+    CORRECTNESS artifact).  The registry is deliberately merged to sit
+    exactly AT the cap — adding a 51st entry must fail HERE, loudly, so
+    the author merges queries (the sanitize/json_extract column-merge
+    pattern, SURVEY.md §10 #2) instead of silently losing a correctness
+    row."""
+    assert len(QUERIES) == 50, (
+        f"queries() has {len(QUERIES)} entries; the driver records at most "
+        "50 — merge entries instead of appending"
+    )
+    assert set(ORACLES) <= set(QUERIES)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -147,6 +147,22 @@ def test_lsh_candidate_recall_on_planted_variants(spark, triples_df):
     assert len(missed) / len(pairs) <= 0.1, f"missed {missed}"
 
 
+def test_candidate_pairs_cap_is_broadcast_anti(spark, triples_df):
+    """Round 4: the hot-bucket cap must plan as a BROADCAST anti join
+    against the tiny over-cap list — never an inner join shuffling the
+    full bucket-size dictionary with the banded stream."""
+    mentions = mentions_from_triples(triples_df)
+    df = candidate_pairs(mentions, max_bucket_size=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "cap is not an anti join"
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert any("Broadcast" in l for l in anti_lines), "cap side not broadcast"
+    # tightening the cap can only remove pairs, never add them
+    capped = df.count()
+    uncapped = candidate_pairs(mentions, max_bucket_size=10 ** 6).count()
+    assert capped <= uncapped
+
+
 def test_dedup_triples_counts(spark, triples_df):
     dd = dedup_triples(triples_df)
     assert dd.count() <= triples_df.count()

@@ -413,6 +413,52 @@ def test_simhash_manku_equals_bruteforce_property(spark):
         assert got == truth, f"k={k}: missed {len(truth - got)}, spurious {len(got - truth)}"
 
 
+def test_ivf_training_sample_bounded_by_default(spark, monkeypatch):
+    """Scale guard (round 4): on a corpus LARGER than max_sample_rows the
+    default path must derive sample_mod from the corpus count so the
+    driver-side training collect stays <= the cap — never the corpus."""
+    import numpy as np
+
+    from driftmind_spark.operators import similarity as sim
+
+    seen = {}
+    real_train = sim.train_ivf_centroids
+
+    def spy(sample, *a, **kw):
+        seen["n"] = len(sample)
+        return real_train(sample, *a, **kw)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", spy)
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).tolist()) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 3),
+        emb.filter(F.col("vec_id") >= 3),
+        k=5, n_centroids=4, n_probe=2, max_sample_rows=100,
+    )
+    assert out.count() == 15
+    assert 0 < seen["n"] <= 100, f"sample size {seen['n']} exceeds cap"
+
+
+def test_ivf_explicit_oversized_sample_raises(spark):
+    """Forcing sample_mod=1 past the cap must refuse the unbounded
+    driver collect loudly instead of OOMing at scale."""
+    import numpy as np
+
+    from driftmind_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(8)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 3),
+            emb.filter(F.col("vec_id") >= 3),
+            sample_mod=1, max_sample_rows=50,
+        ).count()
+
+
 def test_ivf_assign_probe_clamp(spark):
     """n_probe >= n_centroids must degrade to probing every list (ranked),
     never an argpartition index error."""
