@@ -4,9 +4,12 @@ columns with typed metadata.
 Header-level metadata is decoded FOR REAL with pure struct (no media
 library): PNG IHDR, GIF logical screen descriptor, JPEG SOF marker scan
 (width/height), RIFF/WAVE fmt+data chunks (duration/rate/channels), and
-ISO-BMFF moov/mvhd (mp4 duration).  Only pixel/sample decode
-(resize, feature-extract, frame decode) remains stubbed — no
-image/audio libraries in this container; see the marked seams below.
+ISO-BMFF moov/mvhd (mp4 duration).  PNG pixel decode is ALSO real
+(round 4): stdlib zlib IDAT inflate + full five-filter unfilter +
+palette expansion (``decode_png_pixels``), so ``sample_frames`` emits
+genuine pixel bands for PNGs end-to-end.  Only JPEG/GIF pixel decode
+and audio/video sample decode remain stubbed — those codecs need
+libraries this container doesn't ship; see the marked seams below.
 Everything Spark-side is real and tested: schemas, Arrow batch shapes,
 mapInPandas iteration, partition sizing.  Swapping the stub for
 Pillow/ffmpeg is a one-function change that does not touch the plan.
@@ -170,6 +173,121 @@ def _mp4_duration_ms(data: bytes) -> int:
     return int(duration * 1000 / timescale)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode with nothing but stdlib ``zlib`` + numpy
+    (round 4 — shrinks the last multimodal stub to non-PNG formats):
+    chunk walk -> IDAT inflate -> per-scanline unfilter (all five PNG
+    filter types: None/Sub/Up/Average/Paeth) -> palette expansion.
+
+    Supports the dominant web profile: 8-bit channels, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Adam7 interlace and 1/2/4/16-bit depths raise
+    ``NotImplementedError`` (the honest remaining seam).  Returns a
+    ``uint8`` array of shape (height, width, channels) — palette images
+    come back expanded to RGB.
+
+    Filters Sub/Up are vectorized (per-channel-lane cumsum mod 256 is
+    exact because byte addition is associative); Average/Paeth carry a
+    true sequential left-dependency, so they run a per-pixel loop
+    vectorized across channel lanes."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(data)
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc32
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad color type {color}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # surface as the callers' undecodable case
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decompressed size does not match dimensions")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero_row
+        if f == 0:                                   # None
+            rec = cur
+        elif f == 1:                                 # Sub
+            rec = np.cumsum(
+                cur.reshape(w, bpp), axis=0, dtype=np.int64
+            ).reshape(stride) & 0xFF
+        elif f == 2:                                 # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:                                 # Average
+            rec2 = cur.reshape(w, bpp)
+            pr2 = prev.reshape(w, bpp)
+            acc = np.zeros((w, bpp), dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = (rec2[x] + ((left + pr2[x]) >> 1)) & 0xFF
+                acc[x] = left
+            rec = acc.reshape(stride)
+        elif f == 4:                                 # Paeth
+            rec2 = cur.reshape(w, bpp)
+            pr2 = prev.reshape(w, bpp)
+            acc = np.zeros((w, bpp), dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = pr2[x]
+                p = left + b - ul
+                pa, pb, pc = abs(p - left), abs(p - b), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                left = (rec2[x] + pred) & 0xFF
+                acc[x] = left
+                ul = b
+            rec = acc.reshape(stride)
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = rec.astype(np.uint8)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[out.reshape(h, w)]
+    return out.reshape(h, w, channels)
+
+
 def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
     """PNG (IHDR), GIF (logical screen descriptor), and JPEG (SOF scan)
     headers are parsed for real with pure struct — no image library.
@@ -230,25 +348,49 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                   max_frames: int = 4, id_col: str = "media_id",
                   blob_col: str = "blob") -> DataFrame:
-    """Frame-sampling plumbing: deterministic FAKE decode (byte-range
-    slices stand in for decoded frames) so the Spark-side shape —
-    one input row -> K frame rows, binary payloads through Arrow — is
-    real and testable.  Replace ``_fake_frame`` with a video decoder."""
+    """Frame sampling over media blobs, one input row -> up to K frame
+    rows (binary payloads through Arrow).
+
+    Round 4: PNG blobs are decoded FOR REAL (``decode_png_pixels``,
+    stdlib zlib) and the frames are raw pixel bands — up to
+    ``max_frames`` equal-height horizontal strips of the decoded
+    ``uint8`` image, each ``rows x width x channels`` bytes.  Formats
+    without an in-container decoder (video) keep the deterministic
+    byte-range stand-in so the Spark-side plumbing stays testable —
+    replace ``_fake_frame`` with ffmpeg when available (the remaining
+    marked seam)."""
 
     def _fake_frame(data: bytes, i: int) -> bytes:
         start = i * every_n_bytes
         return data[start:start + every_n_bytes]
+
+    def _frames(data: bytes) -> list[bytes]:
+        if data[:8] == _PNG_SIG:
+            try:
+                px = decode_png_pixels(data)
+            except (NotImplementedError, ValueError, struct.error):
+                px = None
+            if px is not None:
+                h = px.shape[0]
+                k = min(max_frames, h)
+                band = -(-h // k)
+                return [
+                    px[i * band:(i + 1) * band].tobytes()
+                    for i in range(k)
+                    if px[i * band:(i + 1) * band].size
+                ]
+        n = min(max_frames, max(1, len(data) // every_n_bytes))
+        return [_fake_frame(data, i) for i in range(n)]
 
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob)
-                n = min(max_frames, max(1, len(data) // every_n_bytes))
-                for i in range(n):
+                for i, frame in enumerate(_frames(data)):
                     rows.append(
                         {"media_id": str(mid), "frame_index": i,
-                         "frame": _fake_frame(data, i)}
+                         "frame": frame}
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 

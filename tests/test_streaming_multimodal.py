@@ -300,3 +300,141 @@ def test_stream_sink_retry_is_idempotent(spark, stream_corpus, tmp_path_factory)
     assert after.count() == n_before, "retried batch duplicated rows"
     # batch 0's partition untouched
     assert after.filter(F.col("batch_id") == 0).count() == 20
+
+
+# ---- round 4: real PNG pixel decode (stdlib zlib) -------------------------
+
+def _encode_png(pixels, filters, color_type=2, palette=None):
+    """Tiny independent PNG encoder for the test: filters each scanline
+    with the REQUESTED filter type (inverse of the decoder's equations,
+    using raw neighbor bytes per the PNG spec), deflates, and wraps in
+    chunks.  Lets the test pin every filter path of decode_png_pixels
+    against known pixel values."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if color_type == 3:
+        h, w = arr.shape
+        bpp = 1
+        flat = arr.reshape(h, w)
+    else:
+        h, w, c = arr.shape
+        bpp = c
+        flat = arr.reshape(h, w * c)
+    raw = bytearray()
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y].astype(np.int32)
+        left = np.roll(cur, bpp)
+        left[:bpp] = 0
+        ul = np.roll(prev, bpp)
+        ul[:bpp] = 0
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (st.pack(">I", len(body)) + ctype + body
+                + st.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels must invert every PNG scanline filter exactly."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    png = _encode_png(img, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    got = decode_png_pixels(png)
+    assert got.shape == (10, 7, 3)
+    assert np.array_equal(got, img)
+
+
+def test_png_pixel_decode_palette_and_rgba():
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    # palette: indices expand through PLTE to RGB
+    idx = np.array([[0, 1, 2, 1], [2, 2, 0, 0]], dtype=np.uint8)
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]  # R, G, B entries
+    png = _encode_png(idx, filters=[1, 2], color_type=3, palette=pal)
+    got = decode_png_pixels(png)
+    expect = np.array(pal, dtype=np.uint8).reshape(3, 3)[idx]
+    assert np.array_equal(got, expect)
+
+    # RGBA round-trip (color type 6, 4 channels)
+    rng = np.random.RandomState(5)
+    rgba = rng.randint(0, 256, size=(6, 4, 4), dtype=np.uint8)
+    got4 = decode_png_pixels(_encode_png(rgba, filters=[4, 3], color_type=6))
+    assert np.array_equal(got4, rgba)
+
+
+def test_png_interlace_and_depth_raise():
+    import struct as st
+    import zlib
+
+    import pytest as _pytest
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(ctype, body):
+        return (st.pack(">I", len(body)) + ctype + body
+                + st.pack(">I", zlib.crc32(ctype + body)))
+
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png_pixels(interlaced)
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
+    with _pytest.raises(NotImplementedError, match="depth"):
+        decode_png_pixels(deep)
+
+
+def test_sample_frames_real_png_pixels(spark):
+    """End-to-end through Spark: a real PNG blob must come back as
+    horizontal bands of DECODED pixel bytes, not byte-range slices."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 5, 3), dtype=np.uint8)
+    png = _encode_png(img, filters=[0, 1, 2, 3, 4, 0, 2, 4])
+    df = spark.createDataFrame(
+        [("p1", bytearray(png))], "media_id string, blob binary"
+    )
+    frames = {r["frame_index"]: bytes(r["frame"])
+              for r in sample_frames(df, max_frames=4).collect()}
+    assert len(frames) == 4  # 8 rows / 4 frames = 2-row bands
+    for i in range(4):
+        assert frames[i] == img[2 * i:2 * i + 2].tobytes()
