@@ -32,6 +32,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce the partitions of CACHED plans too (default
+        # false).  The KG nodes stage caches dictionary-sized frames
+        # (mentions, link edges); without this, a cached aggregate keeps
+        # the full spark.sql.shuffle.partitions fanout, and every
+        # downstream pandas-UDF action pays per-task Python/Arrow channel
+        # setup on ~128 near-empty partitions — measured 5.3 s -> 1.2 s
+        # on candidate_pairs over a 74-surface dictionary at 100k pages.
+        # AQE still sizes by bytes, so a genuinely large cached frame
+        # keeps its parallelism at crawl scale.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
