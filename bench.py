@@ -84,9 +84,16 @@ def _run_headline() -> tuple[dict, float]:
     spark = get_spark(master=f"local[{CPUS}]", app_name="driftmind-bench")
     qmap = entry_mod.queries()
     times: dict[str, float] = {}
-    # warm the JVM/Arrow path once on a cheap query so q1 isn't charged
-    # with session startup
+    # warm the JVM path once on a cheap query so q1 isn't charged with
+    # session startup, AND run one full Arrow-UDF pass so every Python
+    # worker has imported numpy/pandas/the kernels before any timed
+    # window — the same full-warm rule the KG-throughput measurement
+    # already follows.  Without this, whichever UDF query runs first
+    # absorbs the whole pool's one-time import cost (~2 s at 32 workers)
+    # in its single timed execution: chunk_documents read 2.2-3.0 s
+    # across r2-r4 while its steady state is 0.45-0.66 s.
     qmap["distinct_counts"](spark, SF_DIR).collect()
+    qmap["chunk_documents"](spark, SF_DIR).count()
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qmap[name](spark, SF_DIR)
