@@ -438,3 +438,154 @@ def test_sample_frames_real_png_pixels(spark):
     assert len(frames) == 4  # 8 rows / 4 frames = 2-row bands
     for i in range(4):
         assert frames[i] == img[2 * i:2 * i + 2].tobytes()
+
+
+# ---- round 4: real GIF pixel decode (pure-python LZW) ---------------------
+
+def _lzw_encode(indices, min_code):
+    """Reference GIF-LZW encoder for the test (independent of the
+    decoder): standard dictionary growth, variable width growing when
+    the next code would not fit, 12-bit cap with clear-code reset."""
+    clear = 1 << min_code
+    end = clear + 1
+    emitted = []  # (code, width) pairs
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code + 1
+
+    table, next_code, width = fresh()
+    emitted.append((clear, width))
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emitted.append((table[prev], width))
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code - 1 == (1 << 12):
+            emitted.append((clear, width))
+            table, next_code, width = fresh()
+        prev = bytes([px])
+    if prev:
+        emitted.append((table[prev], width))
+    emitted.append((end, width))
+    # pack LSB-first
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, w in emitted:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx, palette, min_code=None, interlace=False):
+    """Minimal single-image GIF89a writer for the test."""
+    import struct as st
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    n_colors = len(palette) // 3
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    ct = bytes(palette) + b"\x00" * (3 * ((1 << ct_bits) - n_colors))
+    if min_code is None:
+        min_code = max(2, ct_bits)
+    rows = idx
+    if interlace:
+        order = [*range(0, h, 8), *range(4, h, 8),
+                 *range(2, h, 4), *range(1, h, 2)]
+        rows = idx[order]
+    data = _lzw_encode(rows.reshape(-1).tolist(), min_code)
+    out = bytearray()
+    out += b"GIF89a" + st.pack("<HH", w, h)
+    out.append(0x80 | (ct_bits - 1))  # GCT present
+    out += b"\x00\x00" + ct
+    # a skippable extension, to exercise the walker
+    out += b"\x21\xfe" + bytes([5]) + b"hello" + b"\x00"
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    for i in range(0, len(data), 200):
+        blk = data[i:i + 200]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_pixel_decode_roundtrip():
+    """LZW dictionary growth + palette expansion: random index images at
+    several sizes/palettes must round-trip exactly."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(13)
+    for h, w, n_colors in [(9, 13, 4), (16, 16, 16), (23, 31, 200)]:
+        idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+        pal = list(rng.randint(0, 256, size=3 * n_colors))
+        got = decode_gif_pixels(_encode_gif(idx, pal))
+        expect = np.array(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, expect)
+
+
+def test_gif_pixel_decode_interlaced():
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(17)
+    idx = rng.randint(0, 8, size=(19, 11)).astype(np.uint8)
+    pal = list(rng.randint(0, 256, size=24))
+    got = decode_gif_pixels(_encode_gif(idx, pal, interlace=True))
+    expect = np.array(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(got, expect)
+
+
+def test_gif_lzw_dictionary_pressure():
+    """A long low-entropy stream forces many width growths; decode must
+    still be exact (hits the 9->12 bit code widths)."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.RandomState(29)
+    h, w = 64, 101
+    # repetitive structure -> long dictionary entries
+    base = rng.randint(0, 7, size=w)
+    idx = np.stack([np.roll(base, i % 5) for i in range(h)]).astype(np.uint8)
+    pal = list(rng.randint(0, 256, size=21))
+    got = decode_gif_pixels(_encode_gif(idx, pal))
+    expect = np.array(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(got, expect)
+
+
+def test_sample_frames_real_gif_pixels(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    idx = rng.randint(0, 5, size=(6, 7)).astype(np.uint8)
+    pal = list(rng.randint(0, 256, size=15))
+    gif = _encode_gif(idx, pal)
+    df = spark.createDataFrame(
+        [("g1", bytearray(gif))], "media_id string, blob binary"
+    )
+    frames = {r["frame_index"]: bytes(r["frame"])
+              for r in sample_frames(df, max_frames=3).collect()}
+    expect = np.array(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert len(frames) == 3  # 6 rows over 3 frames = 2-row bands
+    for i in range(3):
+        assert frames[i] == expect[2 * i:2 * i + 2].tobytes()
