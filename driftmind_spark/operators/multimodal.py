@@ -4,14 +4,16 @@ columns with typed metadata.
 Header-level metadata is decoded FOR REAL with pure struct (no media
 library): PNG IHDR, GIF logical screen descriptor, JPEG SOF marker scan
 (width/height), RIFF/WAVE fmt+data chunks (duration/rate/channels), and
-ISO-BMFF moov/mvhd (mp4 duration).  PNG and GIF pixel decode are ALSO
-real (round 4): stdlib-zlib IDAT inflate + full five-filter unfilter +
-palette expansion (``decode_png_pixels``), and a pure-python
-variable-width LZW with interlace reorder (``decode_gif_pixels``) — so
-``sample_frames`` emits genuine pixel bands for both formats
-end-to-end.  Only JPEG pixel decode (entropy decode + IDCT) and
-audio/video sample decode remain stubbed — those codecs need libraries
-this container doesn't ship; see the marked seams below.
+ISO-BMFF moov/mvhd (mp4 duration).  PIXEL decode is real for every
+image format here (round 4), with no image library: PNG via stdlib-zlib
+IDAT inflate + full five-filter unfilter + palette expansion
+(``decode_png_pixels``), GIF via a pure-python variable-width LZW with
+interlace reorder (``decode_gif_pixels``), and baseline JPEG via
+huffman entropy decode + dequantize + float IDCT + chroma upsampling
+(``kernels/imagecodec.decode_jpeg_pixels``) — so ``sample_frames``
+emits genuine pixel bands for all three.  Only audio/video SAMPLE
+decode (and progressive JPEG) remains stubbed — see the marked seams
+below.
 Everything Spark-side is real and tested: schemas, Arrow batch shapes,
 mapInPandas iteration, partition sizing.  Swapping the stub for
 Pillow/ffmpeg is a one-function change that does not touch the plan.
@@ -466,12 +468,13 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
     """Frame sampling over media blobs, one input row -> up to K frame
     rows (binary payloads through Arrow).
 
-    Round 4: PNG and GIF blobs are decoded FOR REAL
-    (``decode_png_pixels`` / ``decode_gif_pixels``) and the frames are
-    raw pixel bands — up to ``max_frames`` equal-height horizontal
-    strips of the decoded ``uint8`` image, each ``rows x width x
-    channels`` bytes.  Formats without an in-container decoder
-    (JPEG, video) keep the deterministic byte-range stand-in so the
+    Round 4: PNG, GIF, and baseline-JPEG blobs are decoded FOR REAL
+    (``decode_png_pixels`` / ``decode_gif_pixels`` /
+    ``kernels/imagecodec.decode_jpeg_pixels``) and the frames are raw
+    pixel bands — up to ``max_frames`` equal-height horizontal strips
+    of the decoded ``uint8`` image, each ``rows x width x channels``
+    bytes.  Undecodable blobs and formats without an in-container
+    decoder (video) keep the deterministic byte-range stand-in so the
     Spark-side plumbing stays testable — replace ``_fake_frame`` with
     ffmpeg when available (the remaining marked seam)."""
 
@@ -480,11 +483,19 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
         return data[start:start + every_n_bytes]
 
     def _frames(data: bytes) -> list[bytes]:
-        if data[:8] == _PNG_SIG or data[:4] == b"GIF8":
+        if (data[:8] == _PNG_SIG or data[:4] == b"GIF8"
+                or data[:3] == b"\xff\xd8\xff"):
+            from ..kernels.imagecodec import decode_jpeg_pixels
+
             try:
-                px = (decode_png_pixels(data) if data[:8] == _PNG_SIG
-                      else decode_gif_pixels(data))
-            except (NotImplementedError, ValueError, struct.error):
+                if data[:8] == _PNG_SIG:
+                    px = decode_png_pixels(data)
+                elif data[:4] == b"GIF8":
+                    px = decode_gif_pixels(data)
+                else:
+                    px = decode_jpeg_pixels(data)
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, EOFError):
                 px = None
             if px is not None:
                 h = px.shape[0]

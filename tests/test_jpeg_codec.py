@@ -1,0 +1,266 @@
+"""Baseline-JPEG decoder tests: round-trip against an independent
+in-test encoder (forward DCT + canonical huffman + byte stuffing),
+covering 4:4:4 and 4:2:0 sampling, grayscale, restart markers, and the
+progressive-JPEG NotImplementedError seam."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from driftmind_spark.kernels.imagecodec import ZIGZAG, _C, decode_jpeg_pixels
+
+
+# ---- reference encoder (independent of the decoder) ------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self):
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _huff_spec(symbols):
+    """All codes at length 8 (canonical): bits list + vals + code map."""
+    vals = sorted(set(symbols))
+    assert len(vals) < 255
+    bits = [0] * 16
+    bits[7] = len(vals)
+    codes = {s: i for i, s in enumerate(vals)}
+    return bits, bytes(vals), codes
+
+
+def _mag_bits(v):
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_jpeg(rgb, sampling=(1, 1), restart=0):
+    """Minimal baseline JFIF writer: all-ones quant tables (error =
+    DCT-coefficient rounding only), one shared DC and AC huffman table,
+    optional 4:2:0 chroma subsampling and restart markers."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    gray = rgb.ndim == 2 or rgb.shape[2] == 1
+    if gray:
+        comps = [(1, 1, 1, rgb.reshape(h, w) - 128.0)]
+    else:
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        sh, sv = sampling
+        comps = [(1, sh, sv, y)]
+        for cid, plane in ((2, cb), (3, cr)):
+            if sh > 1 or sv > 1:
+                ph = -(-h // sv) * sv
+                pw = -(-w // sh) * sh
+                p = np.zeros((ph, pw))
+                p[:h, :w] = plane
+                p[h:] = p[h - 1:h]
+                p[:, w:] = p[:, w - 1:w]
+                plane = p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            comps.append((cid, 1, 1, plane))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # pad every plane to its MCU-covered size (edge replicate)
+    padded = []
+    for cid, ch, cv, plane in comps:
+        ph, pw = mcus_y * cv * 8, mcus_x * ch * 8
+        p = np.zeros((ph, pw))
+        p[:plane.shape[0], :plane.shape[1]] = plane
+        p[plane.shape[0]:] = p[plane.shape[0] - 1:plane.shape[0]]
+        p[:, plane.shape[1]:] = p[:, plane.shape[1] - 1:plane.shape[1]]
+        padded.append((cid, ch, cv, p))
+
+    # pass 1: quantized blocks in MCU order + symbol collection
+    mcu_stream = []  # (cid, zz_vector)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, ch, cv, p in padded:
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8]
+                        coef = _C @ blk @ _C.T
+                        zz = np.round(coef.reshape(64)[ZIGZAG]).astype(int)
+                        mcu_stream.append((cid, zz))
+
+    dc_syms, ac_syms = [], []
+    pred = {cid: 0 for cid, *_ in padded}
+    tokens = []
+    mcu_sizes = {cid: ch * cv for cid, ch, cv, _ in padded}
+    per_mcu = sum(mcu_sizes.values())
+    for i, (cid, zz) in enumerate(mcu_stream):
+        if restart and i % (restart * per_mcu) == 0 and i:
+            pred = {c: 0 for c in pred}
+            tokens.append(("RST",))
+        diff = int(zz[0]) - pred[cid]
+        pred[cid] = int(zz[0])
+        s, mb = _mag_bits(diff)
+        dc_syms.append(s)
+        tok = [("DC", s, mb)]
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.append(0xF0)
+                tok.append(("AC", 0xF0, 0, 0))
+                run -= 16
+            s, mb = _mag_bits(v)
+            sym = (run << 4) | s
+            ac_syms.append(sym)
+            tok.append(("AC", sym, s, mb))
+            run = 0
+        if run:
+            ac_syms.append(0x00)
+            tok.append(("AC", 0x00, 0, 0))
+        tokens.append(("BLK", tok))
+
+    dc_bits, dc_vals, dc_codes = _huff_spec(dc_syms)
+    ac_bits, ac_vals, ac_codes = _huff_spec(ac_syms)
+
+    bw = _BitWriter()
+    rst_i = 0
+    for t in tokens:
+        if t[0] == "RST":
+            bw.align()
+            bw.out += bytes([0xFF, 0xD0 + rst_i % 8])
+            rst_i += 1
+            continue
+        for part in t[1]:
+            if part[0] == "DC":
+                _, s, mb = part
+                bw.put(dc_codes[s], 8)
+                if s:
+                    bw.put(mb, s)
+            else:
+                _, sym, s, mb = part
+                bw.put(ac_codes[sym], 8)
+                if s:
+                    bw.put(mb, s)
+    bw.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # quant table 0 = ones
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, _ in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return out
+
+
+# ---- tests -----------------------------------------------------------------
+
+def _rgb_from_ycbcr_exact(rgb):
+    """Expected decoder output for an all-ones-quant 4:4:4 encode: the
+    only loss is rounding of DCT coefficients, so decode(encode(x))
+    must match x within a small bound."""
+    return np.asarray(rgb, dtype=np.float64)
+
+
+def test_jpeg_444_roundtrip_close():
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(24, 17, 3)).astype(np.uint8)
+    got = decode_jpeg_pixels(_encode_jpeg(img))
+    assert got.shape == (24, 17, 3)
+    err = np.abs(got.astype(float) - img.astype(float))
+    # all-ones quant: error = coef rounding (<=0.5/coef) through IDCT +
+    # color-transform roundings; stays within a few counts
+    assert err.max() <= 6, err.max()
+    assert err.mean() <= 1.5, err.mean()
+
+
+def test_jpeg_flat_color_near_exact():
+    img = np.full((16, 16, 3), [200, 64, 31], dtype=np.uint8)
+    got = decode_jpeg_pixels(_encode_jpeg(img))
+    assert np.abs(got.astype(float) - img.astype(float)).max() <= 1
+
+
+def test_jpeg_grayscale():
+    rng = np.random.RandomState(37)
+    img = rng.randint(0, 256, size=(19, 23)).astype(np.uint8)
+    got = decode_jpeg_pixels(_encode_jpeg(img))
+    assert got.shape == (19, 23, 1)
+    assert np.abs(got[:, :, 0].astype(float) - img.astype(float)).max() <= 3
+
+
+def test_jpeg_420_subsampled():
+    """Chroma-constant image: 4:2:0 subsample+upsample is lossless for
+    the chroma planes, so the round-trip stays tight."""
+    rng = np.random.RandomState(41)
+    gray = rng.randint(40, 216, size=(32, 24)).astype(np.float64)
+    img = np.stack([
+        np.clip(gray + 20, 0, 255),
+        gray,
+        np.clip(gray - 10, 0, 255),
+    ], axis=2).astype(np.uint8)
+    got = decode_jpeg_pixels(_encode_jpeg(img, sampling=(2, 2)))
+    err = np.abs(got.astype(float) - img.astype(float))
+    assert err.max() <= 8, err.max()
+    assert err.mean() <= 2.0, err.mean()
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(16, 40, 3)).astype(np.uint8)
+    plain = decode_jpeg_pixels(_encode_jpeg(img))
+    with_rst = decode_jpeg_pixels(_encode_jpeg(img, restart=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_progressive_raises():
+    rng = np.random.RandomState(47)
+    img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    data = bytearray(_encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_pixels(bytes(data))
+
+
+def test_jpeg_media_pipeline_dimensions_agree():
+    """The SOF scan in media_metadata and the full decoder must agree on
+    dimensions for the same bytes."""
+    from driftmind_spark.operators.multimodal import _jpeg_dimensions
+
+    rng = np.random.RandomState(53)
+    img = rng.randint(0, 256, size=(21, 34, 3)).astype(np.uint8)
+    data = _encode_jpeg(img)
+    assert _jpeg_dimensions(data) == (34, 21)
+    assert decode_jpeg_pixels(data).shape == (21, 34, 3)

@@ -589,3 +589,25 @@ def test_sample_frames_real_gif_pixels(spark):
     assert len(frames) == 3  # 6 rows over 3 frames = 2-row bands
     for i in range(3):
         assert frames[i] == expect[2 * i:2 * i + 2].tobytes()
+
+
+def test_sample_frames_real_jpeg_pixels(spark):
+    """Baseline JPEG through Spark: frames must be decoded pixel bands
+    (exact match against a direct decode of the same bytes)."""
+    import numpy as np
+
+    from driftmind_spark.kernels.imagecodec import decode_jpeg_pixels
+    from tests.test_jpeg_codec import _encode_jpeg
+
+    rng = np.random.RandomState(59)
+    img = rng.randint(0, 256, size=(12, 9, 3)).astype(np.uint8)
+    data = _encode_jpeg(img)
+    expect = decode_jpeg_pixels(data)
+    df = spark.createDataFrame(
+        [("j1", bytearray(data))], "media_id string, blob binary"
+    )
+    frames = {r["frame_index"]: bytes(r["frame"])
+              for r in sample_frames(df, max_frames=4).collect()}
+    assert len(frames) == 4  # 12 rows over 4 frames = 3-row bands
+    for i in range(4):
+        assert frames[i] == expect[3 * i:3 * i + 3].tobytes()
