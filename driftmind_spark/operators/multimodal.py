@@ -177,6 +177,61 @@ def _mp4_duration_ms(data: bytes) -> int:
     return int(duration * 1000 / timescale)
 
 
+def decode_wav_samples(data: bytes):
+    """REAL PCM WAV sample decode, pure struct + numpy (round 4):
+    returns (samples int16[n_frames, channels], sample_rate).  Supports
+    the dominant uncompressed profiles — format tag 1 (integer PCM) at
+    8/16/24/32 bits and tag 3 (float32), everything normalized to
+    int16.  Compressed WAV (ADPCM, mp3-in-wav) raises
+    ``NotImplementedError`` — those need codec libraries this container
+    doesn't ship."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, n = 12, len(data)
+    fmt = None
+    payload = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, bits = fmt
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(payload, dtype="<i2")
+    elif tag == 1 and bits == 8:  # unsigned 8-bit
+        samples = ((np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+                    - 128) << 8).astype(np.int16)
+    elif tag == 1 and bits == 24:
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        vals = (raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        samples = (vals >> 8).astype(np.int16)
+    elif tag == 1 and bits == 32:
+        samples = (np.frombuffer(payload, dtype="<i4") >> 16).astype(np.int16)
+    elif tag == 3 and bits == 32:
+        f = np.frombuffer(payload, dtype="<f4").astype(np.float64)
+        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise NotImplementedError(
+            f"compressed/unsupported WAV (format tag {tag}, {bits}-bit)"
+        )
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), int(rate)
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -483,6 +538,19 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
         return data[start:start + every_n_bytes]
 
     def _frames(data: bytes) -> list[bytes]:
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            try:
+                samples, _ = decode_wav_samples(data)
+            except (NotImplementedError, ValueError, struct.error):
+                samples = None
+            if samples is not None and len(samples):
+                k = min(max_frames, len(samples))
+                band = -(-len(samples) // k)
+                return [
+                    samples[i * band:(i + 1) * band].tobytes()
+                    for i in range(k)
+                    if samples[i * band:(i + 1) * band].size
+                ]
         if (data[:8] == _PNG_SIG or data[:4] == b"GIF8"
                 or data[:3] == b"\xff\xd8\xff"):
             from ..kernels.imagecodec import decode_jpeg_pixels

@@ -132,7 +132,7 @@ def test_media_metadata(spark, media_df):
     assert meta["m1"]["format"] == "png"
     assert meta["m1"]["width"] == 640 and meta["m1"]["height"] == 480
     assert meta["m2"]["format"] == "jpeg"
-    assert meta["m2"]["width"] is None  # decode stubbed -> NULL, not crash
+    assert meta["m2"]["width"] is None  # SOF-less jpeg -> NULL, not crash
     assert meta["m3"]["format"] is None
     assert all(len(r["sha"]) == 64 for r in meta.values())
 
@@ -611,3 +611,77 @@ def test_sample_frames_real_jpeg_pixels(spark):
     assert len(frames) == 4  # 12 rows over 4 frames = 3-row bands
     for i in range(4):
         assert frames[i] == expect[3 * i:3 * i + 3].tobytes()
+
+
+# ---- round 4: real PCM WAV sample decode ----------------------------------
+
+def _encode_wav(samples, rate, tag=1, bits=16):
+    """Minimal RIFF/WAVE writer for the test (fmt + data chunks)."""
+    import struct as st
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    channels = arr.shape[1] if arr.ndim == 2 else 1
+    if tag == 1 and bits == 16:
+        payload = arr.astype("<i2").tobytes()
+    elif tag == 1 and bits == 8:
+        payload = ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif tag == 3 and bits == 32:
+        payload = (arr.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    else:
+        raise ValueError
+    byte_rate = rate * channels * bits // 8
+    fmt = st.pack("<HHIIHH", tag, channels, rate, byte_rate,
+                  channels * bits // 8, bits)
+    out = b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)) + b"WAVE"
+    out += b"fmt " + st.pack("<I", len(fmt)) + fmt
+    out += b"data" + st.pack("<I", len(payload)) + payload
+    return out
+
+
+def test_wav_sample_decode_pcm16_and_float():
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_wav_samples
+
+    rng = np.random.RandomState(61)
+    stereo = rng.randint(-32768, 32767, size=(500, 2)).astype(np.int16)
+    got, rate = decode_wav_samples(_encode_wav(stereo, 8000))
+    assert rate == 8000
+    assert np.array_equal(got, stereo)
+
+    # float32 path round-trips within 1 LSB of int16
+    got_f, _ = decode_wav_samples(_encode_wav(stereo, 44100, tag=3, bits=32))
+    assert np.abs(got_f.astype(int) - stereo.astype(int)).max() <= 1
+
+
+def test_wav_sample_decode_unsupported_raises():
+    import struct as st
+
+    import pytest as _pytest
+
+    from driftmind_spark.operators.multimodal import decode_wav_samples
+
+    fmt = st.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM tag
+    data = (b"RIFF" + st.pack("<I", 36) + b"WAVE"
+            + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav_samples(data)
+
+
+def test_sample_frames_real_wav_samples(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(67)
+    mono = rng.randint(-1000, 1000, size=(40, 1)).astype(np.int16)
+    wav = _encode_wav(mono, 16000)
+    df = spark.createDataFrame(
+        [("w1", bytearray(wav))], "media_id string, blob binary"
+    )
+    frames = {r["frame_index"]: bytes(r["frame"])
+              for r in sample_frames(df, max_frames=4).collect()}
+    assert len(frames) == 4  # 40 sample frames over 4 bands of 10
+    for i in range(4):
+        assert frames[i] == mono[10 * i:10 * i + 10].tobytes()
