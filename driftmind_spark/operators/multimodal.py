@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -476,6 +477,117 @@ def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
     raise NotImplementedError(
         "media decode requires an image library not present in this "
         "container; plug Pillow/ffmpeg in here"
+    )
+
+
+def decode_image_pixels(data: bytes):
+    """Dispatch to the real decoder for any supported image format
+    (PNG / GIF / baseline JPEG); raises on anything else."""
+    if data[:8] == _PNG_SIG:
+        return decode_png_pixels(data)
+    if data[:4] == b"GIF8":
+        return decode_gif_pixels(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from ..kernels.imagecodec import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(data)
+    raise ValueError("no pixel decoder for this format")
+
+
+def phash64(pixels) -> int:
+    """64-bit perceptual hash over DECODED pixels (round 4 — possible
+    because the image decoders are real now): grayscale -> 32x32
+    resample -> 2D orthonormal DCT -> low-frequency 8x8 corner
+    thresholded at the median of its AC coefficients.  Two encodings of
+    the same picture (PNG vs JPEG re-encode, mild noise) land within a
+    few bits; unrelated pictures land ~32 bits apart."""
+    import numpy as np
+
+    from ..kernels.imagecodec import _C  # 8x8 orthonormal DCT basis
+
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 3:
+        px = px.mean(axis=2)
+    h, w = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = px[ys[:, None], xs[None, :]]
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c32 = np.cos(np.pi * k * (2 * m + 1) / (2 * n)) * np.where(
+        k == 0, np.sqrt(1 / n), np.sqrt(2 / n)
+    )
+    coef = c32 @ small @ c32.T
+    block = coef[:8, :8].reshape(64)
+    med = np.median(block[1:])
+    bits = block > med
+    val = 0
+    for i in range(64):
+        if bits[i]:
+            val |= 1 << i
+    return val
+
+
+def image_phash(df: DataFrame, id_col: str = "media_id",
+                blob_col: str = "blob") -> DataFrame:
+    """(media_id, phash) over an image-blob column via mapInPandas;
+    undecodable blobs yield NULL (observable, never a crash).  The hash
+    is emitted as int64 (the uint64 bit pattern, sign-irrelevant) so it
+    plugs straight into the SimHash Hamming machinery."""
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("phash", LongType(), True),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    v = phash64(decode_image_pixels(bytes(blob)))
+                    v = int(np.int64(np.uint64(v)))
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError, EOFError):
+                    v = None
+                rows.append({"media_id": str(mid), "phash": v})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.mapInPandas(_hash, out_schema)
+
+
+def image_near_dups(df: DataFrame, max_hamming: int = 6,
+                    id_col: str = "media_id", blob_col: str = "blob",
+                    max_bucket_size: int | None = 1024) -> DataFrame:
+    """Perceptual near-duplicate image pairs: pHash + the SAME Manku
+    bit-block scheme the text SimHash dedup uses (max_hamming+1 disjoint
+    blocks -> pigeonhole recall 1.0 at <= max_hamming, hot-bucket cap,
+    exact bit_count verify).  Returns (media_a, media_b, hamming).
+
+    Scale shape inherited from simhash_pairs_from_hashes: one decode
+    pass per blob (Arrow-batched), an equi-join on block values — never
+    a pairwise image comparison."""
+    from .dedup import simhash_pairs_from_hashes
+
+    hashed = (
+        image_phash(df, id_col, blob_col)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("media_id").alias("doc_id"),
+                F.col("phash").alias("simhash"))
+    )
+    pairs = simhash_pairs_from_hashes(
+        hashed, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
     )
 
 

@@ -685,3 +685,71 @@ def test_sample_frames_real_wav_samples(spark):
     assert len(frames) == 4  # 40 sample frames over 4 bands of 10
     for i in range(4):
         assert frames[i] == mono[10 * i:10 * i + 10].tobytes()
+
+
+# ---- round 4: perceptual image hashing + image near-dups ------------------
+
+def _structured_image(seed, h=64, w=64):
+    """Low-frequency synthetic picture (gradients + a rectangle) — the
+    kind of content pHash is built for; pure noise has no perceptual
+    structure to hash."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(0.3, 3, 3)
+    img = (
+        128
+        + 90 * np.sin(a * np.pi * yy / h + b)
+        + 70 * np.cos(c * np.pi * xx / w)
+    )
+    y0, x0 = rng.randint(5, h // 2), rng.randint(5, w // 2)
+    img[y0:y0 + h // 3, x0:x0 + w // 3] += rng.choice([-70, 70])
+    img = np.clip(img, 0, 255)
+    return np.stack([img, np.clip(img + 12, 0, 255),
+                     np.clip(img - 9, 0, 255)], axis=2).astype(np.uint8)
+
+
+def test_phash_stable_across_encodings_and_discriminative():
+    """The same picture encoded as PNG and as (lossy) JPEG must hash
+    within a few bits; different pictures must be far apart."""
+    from driftmind_spark.operators.multimodal import (
+        decode_image_pixels,
+        phash64,
+    )
+    from tests.test_jpeg_codec import _encode_jpeg
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    hashes = []
+    for seed in range(6):
+        img = _structured_image(seed)
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4])
+        jpg = _encode_jpeg(img)
+        h_png = phash64(decode_image_pixels(png))
+        h_jpg = phash64(decode_image_pixels(jpg))
+        assert ham(h_png, h_jpg) <= 4, f"seed {seed}: {ham(h_png, h_jpg)}"
+        hashes.append(h_png)
+    dists = [ham(a, b) for i, a in enumerate(hashes)
+             for b in hashes[i + 1:]]
+    assert min(dists) >= 12, f"unrelated images too close: {min(dists)}"
+
+
+def test_image_near_dups_spark(spark):
+    """End-to-end: PNG + JPEG re-encodes of the same pictures pair up;
+    unrelated pictures don't; undecodable blobs are skipped as NULL."""
+    from driftmind_spark.operators.multimodal import image_near_dups
+    from tests.test_jpeg_codec import _encode_jpeg
+
+    rows = []
+    for seed in range(4):
+        img = _structured_image(seed)
+        rows.append((f"png{seed}", bytearray(_encode_png(img, filters=[0, 2]))))
+        rows.append((f"jpg{seed}", bytearray(_encode_jpeg(img))))
+    rows.append(("junk", bytearray(b"\x00\x01\x02" * 100)))
+    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    pairs = {(r["media_a"], r["media_b"])
+             for r in image_near_dups(df, max_hamming=6).collect()}
+    expect = {tuple(sorted((f"jpg{s}", f"png{s}"))) for s in range(4)}
+    assert pairs == expect, pairs
