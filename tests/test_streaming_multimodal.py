@@ -753,3 +753,68 @@ def test_image_near_dups_spark(spark):
              for r in image_near_dups(df, max_hamming=6).collect()}
     expect = {tuple(sorted((f"jpg{s}", f"png{s}"))) for s in range(4)}
     assert pairs == expect, pairs
+
+
+# ---- round 4: audio fingerprinting + audio near-dups ----------------------
+
+def _tone_mix(seed, n=8000, rate=8000):
+    """Synthetic 1-second recording: a few random tones with a random
+    on/off envelope — structured content for the fingerprint."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / rate
+    sig = np.zeros(n)
+    for _ in range(3):
+        f = rng.uniform(100, 3500)
+        # piecewise amplitude, never fully silent: a silent slice has
+        # no defined spectral content, so its bit is noise under any
+        # fingerprint — real audio dedup gates on energy instead
+        env = np.repeat(rng.uniform(0.2, 1.0, size=32), n // 32)[:n]
+        sig += env * np.sin(2 * np.pi * f * t)
+    sig /= max(1e-9, np.abs(sig).max())
+    return (sig * 20000).astype(np.int16)[:, None]
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative():
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import audio_fingerprint64
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    fps = []
+    for seed in range(5):
+        s = _tone_mix(seed)
+        f_full = audio_fingerprint64(s, 8000)
+        f_half = audio_fingerprint64((s // 2).astype(np.int16), 8000)
+        assert ham(f_full, f_half) <= 2, f"volume changed the hash: seed {seed}"
+        noisy = np.clip(
+            s.astype(int)
+            + np.random.RandomState(99).randint(-300, 300, size=s.shape),
+            -32768, 32767,
+        ).astype(np.int16)
+        assert ham(f_full, audio_fingerprint64(noisy, 8000)) <= 6
+        fps.append(f_full)
+    dists = [ham(a, b) for i, a in enumerate(fps) for b in fps[i + 1:]]
+    assert min(dists) >= 10, f"unrelated audio too close: {min(dists)}"
+
+
+def test_audio_near_dups_spark(spark):
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import audio_near_dups
+
+    rows = []
+    for seed in range(3):
+        s = _tone_mix(seed)
+        rows.append((f"a{seed}", bytearray(_encode_wav(s, 8000))))
+        quieter = np.round(s.astype(np.float64) * 0.37).astype(np.int16)
+        rows.append((f"b{seed}", bytearray(_encode_wav(quieter, 8000))))
+    rows.append(("junk", bytearray(b"RIFFxxxxWAVE")))
+    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    pairs = {(r["media_a"], r["media_b"])
+             for r in audio_near_dups(df, max_hamming=6).collect()}
+    expect = {(f"a{s}", f"b{s}") for s in range(3)}
+    assert pairs == expect, pairs
