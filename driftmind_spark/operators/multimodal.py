@@ -11,9 +11,12 @@ IDAT inflate + full five-filter unfilter + palette expansion
 interlace reorder (``decode_gif_pixels``), and baseline JPEG via
 huffman entropy decode + dequantize + float IDCT + chroma upsampling
 (``kernels/imagecodec.decode_jpeg_pixels``) — so ``sample_frames``
-emits genuine pixel bands for all three.  Only audio/video SAMPLE
-decode (and progressive JPEG) remains stubbed — see the marked seams
-below.
+emits genuine pixel bands for all three.  PCM WAV samples
+(``decode_wav_samples``) and MJPEG-in-AVI video frames
+(``decode_avi_mjpeg_frames``, RIFF walk + the JPEG kernel per frame)
+are real too.  The remaining stubs, honestly marked: progressive JPEG,
+compressed audio, and inter-frame video codecs (H.264 etc.) — those
+need entropy/motion decoders this container doesn't ship.
 Everything Spark-side is real and tested: schemas, Arrow batch shapes,
 mapInPandas iteration, partition sizing.  Swapping the stub for
 Pillow/ffmpeg is a one-function change that does not touch the plan.
@@ -461,6 +464,64 @@ def decode_gif_pixels(data: bytes):
     raise ValueError("no image descriptor")
 
 
+def _riff_chunks(data: bytes, lo: int, hi: int):
+    """Iterate (chunk_id, body_lo, body_hi) over a RIFF chunk range
+    (word-aligned, truncated chunks clamped)."""
+    pos = lo
+    while pos + 8 <= hi:
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        yield cid, pos + 8, min(pos + 8 + size, hi)
+        pos += 8 + size + (size & 1)
+
+
+def _avi_properties(data: bytes):
+    """(duration_ms, width, height) from the avih main header inside
+    LIST hdrl — pure struct."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    for cid, lo, hi in _riff_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[lo:lo + 4] == b"hdrl":
+            for sid, slo, shi in _riff_chunks(data, lo + 4, hi):
+                if sid == b"avih" and shi - slo >= 40:
+                    us_per_frame, _, _, _, total_frames = struct.unpack(
+                        "<IIIII", data[slo:slo + 20]
+                    )
+                    w, h = struct.unpack("<II", data[slo + 32:slo + 40])
+                    dur = (
+                        int(us_per_frame * total_frames / 1000)
+                        if us_per_frame else None
+                    )
+                    return dur, int(w), int(h)
+    raise ValueError("no avih header")
+
+
+def decode_avi_mjpeg_frames(data: bytes, max_frames: int = 4):
+    """REAL video frame decode for MJPEG-in-AVI (round 4): walk the
+    RIFF tree to LIST 'movi', decode each video chunk ('##dc'/'##db')
+    whose payload is a JPEG through the baseline JPEG kernel.  Returns
+    up to ``max_frames`` uint8[h, w, c] arrays.  Non-MJPEG codecs
+    (H.264 etc.) yield no decodable chunks and raise — those need
+    ffmpeg, the remaining honest seam."""
+    from ..kernels.imagecodec import decode_jpeg_pixels
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    frames = []
+    for cid, lo, hi in _riff_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[lo:lo + 4] == b"movi":
+            for fid, flo, fhi in _riff_chunks(data, lo + 4, hi):
+                if fid[2:4] in (b"dc", b"db"):
+                    payload = data[flo:fhi]
+                    if payload[:3] == b"\xff\xd8\xff":
+                        frames.append(decode_jpeg_pixels(payload))
+                        if len(frames) >= max_frames:
+                            return frames
+    if not frames:
+        raise ValueError("no MJPEG frames found")
+    return frames
+
+
 def _decode_dimensions(data: bytes) -> tuple[int | None, int | None]:
     """PNG (IHDR), GIF (logical screen descriptor), and JPEG (SOF scan)
     headers are parsed for real with pure struct — no image library.
@@ -699,6 +760,8 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                         dur, rate, chans = _wav_properties(data)
                     elif fmt == "mp4":
                         dur = _mp4_duration_ms(data)
+                    elif fmt == "avi":
+                        dur, w, h = _avi_properties(data)
                     else:
                         w, h = _decode_dimensions(data)
                 except (NotImplementedError, ValueError, struct.error):
@@ -742,6 +805,15 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
         return data[start:start + every_n_bytes]
 
     def _frames(data: bytes) -> list[bytes]:
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            try:
+                return [
+                    px.tobytes()
+                    for px in decode_avi_mjpeg_frames(data, max_frames)
+                ]
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, EOFError):
+                pass  # non-MJPEG codec -> byte-range stand-in below
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             try:
                 samples, _ = decode_wav_samples(data)
