@@ -563,3 +563,54 @@ def embedding_hot_bucket_stats(
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket_size)
     )
+
+
+def dedup_resolution(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate clusters and a keeper
+    assignment — the step that makes any pair family actionable:
+    ``(doc_id, keeper_id, is_keeper, cluster_size)``, keeper = the
+    minimum doc id of the cluster (a total order, so re-runs at any
+    parallelism elect identical keepers).  ``filter(is_keeper)`` IS the
+    deduplicated corpus; the full frame is the audit trail.
+
+    Near-duplicate similarity is not transitive, but dedup policy
+    conventionally closes it transitively (a~b, b~c => keep one of
+    {a,b,c}); the closure is connected components over the pair graph,
+    reused from kg/cc.py — size-adaptive driver union-find for
+    dictionary-sized pair lists, alternating large/small-star
+    (Kiveris et al., SoCC'14) at crawl scale.  Composes with every pair
+    family here (minhash_lsh_pairs_sql, simhash_near_dups,
+    ngram_jaccard_pairs, embedding_near_dups, exact_dedup via melt, and
+    the image/audio perceptual variants after a column rename).
+
+    Cluster sizes come from an aggregate + equi-join rather than a
+    window (partial aggregation absorbs a giant boilerplate cluster
+    map-side; a window would funnel it through one task)."""
+    from ..kg.cc import connected_components
+
+    edges = pairs.select(
+        F.col(pair_a).alias("src"), F.col(pair_b).alias("dst")
+    )
+    vertices = docs.select(F.col(id_col).alias("mention_id"))
+    comp = connected_components(
+        vertices, edges, small_graph_threshold=small_graph_threshold
+    )
+    labeled = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("keeper_id")
+    )
+    sizes = labeled.groupBy("keeper_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "keeper_id").select(
+        id_col,
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+        "cluster_size",
+    )

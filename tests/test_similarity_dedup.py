@@ -473,3 +473,59 @@ def test_ivf_assign_probe_clamp(spark):
     assert ids.shape == (5, 4)
     for row in ids:
         assert sorted(row.tolist()) == [0, 1, 2, 3]
+
+
+# ---- round 4: pair -> cluster -> keeper resolution ------------------------
+
+def test_dedup_resolution_vs_union_find_oracle(spark):
+    """Planted pair graph (chains, a triangle, singletons) resolved to
+    keeper assignments must equal transitive-closure union-find."""
+    n = 40
+    pairs = [(0, 1), (1, 2), (2, 3),          # chain -> keeper 0
+             (10, 11), (11, 12), (10, 12),    # triangle -> keeper 10
+             (20, 39), (21, 38)]              # two 2-clusters
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {(i, find(i)) for i in range(n)}
+
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = dd.dedup_resolution(docs, pdf).collect()
+    assert {(r["doc_id"], r["keeper_id"]) for r in got} == expect
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[3]["cluster_size"] == 4 and not by_id[3]["is_keeper"]
+    assert by_id[0]["is_keeper"] and by_id[10]["is_keeper"]
+    assert by_id[5]["cluster_size"] == 1 and by_id[5]["is_keeper"]
+    # keepers form exactly one survivor per cluster
+    keepers = [r for r in got if r["is_keeper"]]
+    assert len(keepers) == len({find(i) for i in range(n)})
+
+
+def test_dedup_resolution_composes_with_minhash(spark):
+    """End-to-end policy: a planted boilerplate cluster collapses to
+    one keeper through minhash pairs -> resolution."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "while the cat watches from the warm windowsill every morning"
+    )
+    rows = [(i, base + f" variant {i % 3}") for i in range(12)]
+    rows += [(100 + i, f"совершенно другой текст номер {i} без пересечений "
+              f"с остальными документами в корпусе вообще") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.minhash_lsh_pairs_sql(docs).select("doc_a", "doc_b")
+    res = dd.dedup_resolution(docs, pairs)
+    kept = res.filter("is_keeper").count()
+    # 12 near-identical docs collapse to ~3 variants; 3 unrelated stay
+    assert kept <= 3 + 3 + 1
+    assert res.count() == 15
+    assert res.filter("cluster_size >= 4").count() >= 4
