@@ -189,7 +189,11 @@ def decode_jpeg_pixels(data: bytes):
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:  # corrupt SOS: unknown component id
+                    raise ValueError(f"scan references component {cs}")
                 scan.append((comp, tt >> 4, tt & 15))
             return _decode_scan(
                 data, pos + 2 + seg_len, frame, scan, qt,
@@ -202,6 +206,9 @@ def decode_jpeg_pixels(data: bytes):
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
+    for comp, tdc, tac in scan:  # corrupt streams reference ghost tables
+        if tdc not in huff_dc or tac not in huff_ac or comp["tq"] not in qt:
+            raise ValueError("scan references an undeclared table")
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])

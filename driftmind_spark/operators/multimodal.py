@@ -764,7 +764,8 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                         dur, w, h = _avi_properties(data)
                     else:
                         w, h = _decode_dimensions(data)
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, struct.error,
+                        IndexError, EOFError):
                     pass  # undecodable/truncated header -> NULL columns
                 rows.append(
                     {

@@ -1,0 +1,122 @@
+"""Adversarial-input hardening for the pure-python media codecs: random
+and mutated bytes must ALWAYS raise one of the narrow exception types
+the Spark UDFs map to NULL — any other exception type (KeyError,
+ZeroDivisionError, OverflowError, ...) would crash a crawl-scale job on
+one corrupt blob."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from driftmind_spark.kernels.imagecodec import decode_jpeg_pixels
+from driftmind_spark.operators.multimodal import (
+    decode_avi_mjpeg_frames,
+    decode_gif_pixels,
+    decode_png_pixels,
+    decode_wav_samples,
+    media_metadata,
+    phash64,
+)
+from tests.test_jpeg_codec import _encode_jpeg
+from tests.test_streaming_multimodal import (
+    _encode_avi_mjpeg,
+    _encode_gif,
+    _encode_png,
+    _encode_wav,
+    _tone_mix,
+)
+
+OK = (NotImplementedError, ValueError, struct.error, IndexError, EOFError)
+
+DECODERS = [
+    decode_png_pixels,
+    decode_gif_pixels,
+    decode_jpeg_pixels,
+    decode_wav_samples,
+    decode_avi_mjpeg_frames,
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_random_bytes_never_crash(data):
+    for dec in DECODERS:
+        try:
+            dec(data)
+        except OK:
+            pass
+
+
+def _valid_blobs():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 10, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(6, 6)).astype(np.uint8)
+    pal = list(rng.randint(0, 256, size=12))
+    jpeg = _encode_jpeg(img)
+    return {
+        "png": _encode_png(img, filters=[0, 1, 2, 3, 4]),
+        "gif": _encode_gif(idx, pal),
+        "jpeg": jpeg,
+        "wav": _encode_wav(_tone_mix(1, n=2000), 8000),
+        "avi": _encode_avi_mjpeg([jpeg], 10, 8),
+    }
+
+
+_BLOBS = _valid_blobs()
+_BY_FMT = {
+    "png": decode_png_pixels,
+    "gif": decode_gif_pixels,
+    "jpeg": decode_jpeg_pixels,
+    "wav": decode_wav_samples,
+    "avi": decode_avi_mjpeg_frames,
+}
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(_BLOBS)),
+    pos=st.integers(min_value=0, max_value=10 ** 6),
+    val=st.integers(min_value=0, max_value=255),
+    trunc=st.integers(min_value=1, max_value=10 ** 6),
+)
+def test_mutated_valid_blobs_decode_or_raise_cleanly(fmt, pos, val, trunc):
+    """Flip one byte and/or truncate a VALID file: the decoder must
+    either still decode or raise a clean, expected error."""
+    blob = bytearray(_BLOBS[fmt])
+    blob[pos % len(blob)] = val
+    data = bytes(blob)[: max(1, trunc % (len(blob) + 1))]
+    try:
+        _BY_FMT[fmt](data)
+    except OK:
+        pass
+
+
+def test_media_metadata_on_hostile_blobs_yields_rows(spark):
+    """The metadata op itself (narrower catch list than sample_frames)
+    must produce a row per input on hostile bytes, never crash."""
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(20):
+        blob = bytearray(_BLOBS[["png", "gif", "jpeg", "wav", "avi"][i % 5]])
+        for _ in range(3):  # heavier corruption
+            blob[rng.randint(0, len(blob))] = rng.randint(0, 256)
+        rows.append((f"x{i}", bytearray(bytes(blob)[: rng.randint(8, len(blob))])))
+    df = spark.createDataFrame(rows, "media_id string, blob binary")
+    out = media_metadata(df).collect()
+    assert len(out) == 20
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_phash_on_garbage_pixel_shapes(data):
+    """phash64 gets arrays, not bytes — but degenerate shapes must raise
+    cleanly too."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    try:
+        phash64(arr.reshape(-1, 1) if len(arr) else arr.reshape(0, 1))
+    except OK:
+        pass

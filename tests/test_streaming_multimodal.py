@@ -770,7 +770,7 @@ def _tone_mix(seed, n=8000, rate=8000):
         # piecewise amplitude, never fully silent: a silent slice has
         # no defined spectral content, so its bit is noise under any
         # fingerprint — real audio dedup gates on energy instead
-        env = np.repeat(rng.uniform(0.2, 1.0, size=32), n // 32)[:n]
+        env = np.repeat(rng.uniform(0.2, 1.0, size=32), -(-n // 32))[:n]
         sig += env * np.sin(2 * np.pi * f * t)
     sig /= max(1e-9, np.abs(sig).max())
     return (sig * 20000).astype(np.int16)[:, None]
