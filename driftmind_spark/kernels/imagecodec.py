@@ -1,13 +1,15 @@
-"""Baseline JPEG decoder — pure python + numpy, no image library.
+"""JPEG decoder — pure python + numpy, no image library.
 
 Round 4: closes the JPEG leg of the multimodal pixel seam
-(operators/multimodal.py).  Scope: baseline sequential DCT JPEGs
-(SOF0), the overwhelming web majority — huffman entropy decode,
-dequantize, float IDCT, chroma upsampling for arbitrary sampling
-factors (4:4:4 / 4:2:2 / 4:2:0), restart markers, JFIF YCbCr -> RGB.
-Progressive (SOF2) and arithmetic-coded JPEGs raise
-``NotImplementedError`` — the honest remaining seam, marked where the
-frame type is dispatched.
+(operators/multimodal.py).  Scope: baseline sequential (SOF0/1) AND
+progressive (SOF2) huffman DCT JPEGs — together the web's JPEGs —
+with spectral selection, successive approximation (DC and AC
+first/refinement scans, EOB runs), interleaved and single-component
+scan orders, restart markers, dequantize + vectorized float IDCT,
+chroma upsampling for arbitrary sampling factors (4:4:4 / 4:2:2 /
+4:2:0), and JFIF YCbCr -> RGB.  Arithmetic-coded, lossless, and
+hierarchical frames raise ``NotImplementedError`` — the honest
+remaining seam, marked where the frame type is dispatched.
 
 No reference counterpart: the reference processes documents only
 (Services/FileProcessingService.cs:28-37 allowlists .txt/.md/.pdf/
@@ -124,8 +126,17 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(data: bytes):
-    """Decode a baseline JPEG to uint8[h, w, 3] RGB (or [h, w, 1] for
-    grayscale scans)."""
+    """Decode a baseline (SOF0/1) or PROGRESSIVE (SOF2) JPEG to
+    uint8[h, w, 3] RGB (or [h, w, 1] for grayscale).
+
+    Round 4: baseline and progressive share ONE coefficient-accumulating
+    scan decoder — every SOS scan (spectral-selection band Ss..Se at
+    successive-approximation precision Ah/Al, interleaved MCU order or
+    single-component raster) writes into per-component zigzag
+    coefficient arrays; dequantize + vectorized IDCT + upsampling +
+    color transform run once at EOI.  Baseline is simply the
+    Ss=0..Se=63, Ah=Al=0 interleaved special case.  Arithmetic-coded,
+    lossless, and hierarchical frames raise ``NotImplementedError``."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -133,6 +144,7 @@ def decode_jpeg_pixels(data: bytes):
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    state: dict | None = None
     restart_interval = 0
     n = len(data)
     while pos + 4 <= n:
@@ -140,9 +152,14 @@ def decode_jpeg_pixels(data: bytes):
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte: resync on the NEXT 0xFF
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:
+            break
         seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -166,19 +183,25 @@ def decode_jpeg_pixels(data: bytes):
                 vals = body[i + 17:i + 17 + nv]
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext-seq / progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            if h == 0 or w == 0 or nc == 0:
+                raise ValueError("degenerate frame dimensions")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                ch, cv = hv >> 4, hv & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("bad sampling factors")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/1) supported"
+                "only baseline/progressive DCT JPEG (SOF0/1/2) supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -186,6 +209,8 @@ def decode_jpeg_pixels(data: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
@@ -195,91 +220,237 @@ def decode_jpeg_pixels(data: bytes):
                 if comp is None:  # corrupt SOS: unknown component id
                     raise ValueError(f"scan references component {cs}")
                 scan.append((comp, tt >> 4, tt & 15))
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, qt,
-                huff_dc, huff_ac, restart_interval,
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if state is None:
+                state = _init_coef_state(frame)
+            pos = _decode_entropy(
+                data, pos + 2 + seg_len, frame, scan, ss, se, ah, al,
+                qt, huff_dc, huff_ac, restart_interval, state,
             )
-        elif marker == 0xD9:
-            break
+            continue
         pos += 2 + seg_len
-    raise ValueError("no scan found")
+    if state is None:
+        raise ValueError("no scan found")
+    return _reconstruct(frame, state, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart):
-    for comp, tdc, tac in scan:  # corrupt streams reference ghost tables
-        if tdc not in huff_dc or tac not in huff_ac or comp["tq"] not in qt:
-            raise ValueError("scan references an undeclared table")
-    h, w = frame["h"], frame["w"]
+def _frame_geometry(frame):
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    for comp, _, _ in scan:
-        planes[comp["id"]] = np.zeros(
-            (mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _init_coef_state(frame):
+    """Per-component zigzag coefficient arrays, padded to the full
+    interleaved MCU grid (non-interleaved scans touch the top-left
+    true-blocks sub-grid)."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    state = {}
+    for comp in frame["comps"]:
+        state[comp["id"]] = np.zeros(
+            (mcus_y * comp["v"], mcus_x * comp["h"], 64), dtype=np.int64
         )
+    return state
+
+
+def _comp_true_blocks(frame, comp):
+    """Block-grid dims of a component OUTSIDE interleaved MCU padding
+    (JPEG A.2.2: non-interleaved scans cover exactly these blocks)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    chh = -(-frame["h"] * comp["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _decode_entropy(data, pos, frame, scan, ss, se, ah, al,
+                    qt, huff_dc, huff_ac, restart, state):
+    """Decode one scan's entropy segment into the coefficient state;
+    returns the position just past the segment."""
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+        raise ValueError("bad spectral/approximation parameters")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("AC scans must be single-component")
+    if frame["progressive"] and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    needs_dc = ss == 0 and ah == 0
+    needs_ac = se > 0
+    for comp, tdc, tac in scan:
+        if comp["tq"] not in qt:
+            raise ValueError("scan references an undeclared quant table")
+        if needs_dc and tdc not in huff_dc:
+            raise ValueError("scan references an undeclared DC table")
+        if needs_ac and tac not in huff_ac:
+            raise ValueError("scan references an undeclared AC table")
     reader = _BitReader(data, pos)
     pred = {comp["id"]: 0 for comp, _, _ in scan}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_count and mcu_count % restart == 0:
-                reader.resync()
-                pred = {k: 0 for k in pred}
-            try:
-                for comp, tdc, tac in scan:
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            blk = _decode_block(
-                                reader, huff_dc[tdc], huff_ac[tac],
-                                qt[comp["tq"]], pred, comp["id"],
-                            )
-                            y0 = (my * comp["v"] + by) * 8
-                            x0 = (mx * comp["h"] + bx) * 8
-                            planes[comp["id"]][y0:y0 + 8, x0:x0 + 8] = blk
-            except _RestartMarker:
-                raise ValueError("unexpected restart marker") from None
-            mcu_count += 1
-    # upsample each plane to full resolution, crop, color-convert
+    eob = {"run": 0}
+
+    def dc_unit(c, tdc):
+        if ah == 0:
+            size = reader.huff(huff_dc[tdc])
+            diff = _extend(reader.bits(size), size) if size else 0
+            cid_pred = pred[cur_cid[0]] + diff
+            pred[cur_cid[0]] = cid_pred
+            c[0] = cid_pred << al
+        elif reader.bit():
+            c[0] |= 1 << al
+
+    def ac_first(c, tac):
+        if eob["run"] > 0:
+            eob["run"] -= 1
+            return
+        k = max(ss, 1)  # in a baseline scan (Ss=0) AC starts after DC
+        while k <= se:
+            rs = reader.huff(huff_ac[tac])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eob["run"] = (1 << r) - 1
+                if r:
+                    eob["run"] += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index out of range")
+            c[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(c, tac):
+        # G.1.2.3 successive-approximation AC refinement: correction
+        # bits for already-nonzero coeffs, new +-1<<al coefficients
+        # placed after their zero runs.  An EOB code ends the CURRENT
+        # block's codes but its remaining band positions still carry
+        # correction bits (the tail pass below); the EOB run counts
+        # FOLLOWING whole-tail blocks.
+        p1 = 1 << al
+        k = max(ss, 1)
+        tail = False
+        if eob["run"] > 0:
+            eob["run"] -= 1
+            tail = True
+        else:
+            while k <= se:
+                rs = reader.huff(huff_ac[tac])
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eob["run"] = (1 << r) - 1
+                        if r:
+                            eob["run"] += reader.bits(r)
+                        tail = True
+                        break
+                    # r == 15: pass 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if reader.bit() else -p1
+                else:
+                    raise ValueError("bad AC refinement size")
+                while k <= se:
+                    if c[k] != 0:
+                        if reader.bit() and (abs(int(c[k])) & p1) == 0:
+                            c[k] += p1 if c[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    c[k] = val
+                k += 1
+        if tail:
+            while k <= se:
+                if c[k] != 0 and reader.bit() and (abs(int(c[k])) & p1) == 0:
+                    c[k] += p1 if c[k] > 0 else -p1
+                k += 1
+
+    cur_cid = [None]
+
+    def unit(comp, tdc, tac, byy, bxx):
+        cur_cid[0] = comp["id"]
+        c = state[comp["id"]][byy, bxx]
+        if ss == 0:
+            dc_unit(c, tdc)
+        if se > 0:
+            if ah == 0:
+                ac_first(c, tac)
+            else:
+                ac_refine(c, tac)
+
+    def do_restart():
+        reader.resync()
+        for k in pred:
+            pred[k] = 0
+        eob["run"] = 0
+
+    try:
+        if len(scan) > 1:  # interleaved MCU order
+            _, _, mcus_x, mcus_y = _frame_geometry(frame)
+            count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and count and count % restart == 0:
+                        do_restart()
+                    for comp, tdc, tac in scan:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                unit(comp, tdc, tac,
+                                     my * comp["v"] + by,
+                                     mx * comp["h"] + bx)
+                    count += 1
+        else:  # non-interleaved: the component's true blocks, raster
+            comp, tdc, tac = scan[0]
+            nby, nbx = _comp_true_blocks(frame, comp)
+            count = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart and count and count % restart == 0:
+                        do_restart()
+                    unit(comp, tdc, tac, by, bx)
+                    count += 1
+    except _RestartMarker:
+        raise ValueError("unexpected restart marker") from None
+    return reader.pos
+
+
+def _reconstruct(frame, state, qt):
+    """Dequantize + IDCT every component (vectorized across blocks),
+    upsample to full resolution, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
     out = []
-    for comp, _, _ in scan:
-        p = planes[comp["id"]]
+    for comp in frame["comps"]:
+        if comp["tq"] not in qt:
+            raise ValueError("component references an undeclared quant table")
+        coefs = state[comp["id"]]
+        nby, nbx = coefs.shape[:2]
+        deq = coefs.reshape(-1, 64).astype(np.float64) * qt[comp["tq"]]
+        mats = np.zeros((deq.shape[0], 64))
+        mats[:, ZIGZAG] = deq
+        blocks = np.einsum("ij,njk,kl->nil", _C.T, mats.reshape(-1, 8, 8), _C)
+        plane = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
         if comp["h"] != hmax or comp["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0),
-                          hmax // comp["h"], axis=1)
-        out.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // comp["v"], axis=0),
+                hmax // comp["h"], axis=1,
+            )
+        out.append(plane[:h, :w])
     if len(out) == 1:
-        y = np.clip(out[0] + 128.0, 0, 255)
+        y = np.clip(np.round(out[0] + 128.0), 0, 255)
         return y.astype(np.uint8)[:, :, None]
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component color not supported")
     y, cb, cr = out[0] + 128.0, out[1], out[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(reader, dc_tbl, ac_tbl, q, pred, cid):
-    coef = np.zeros(64)
-    size = reader.huff(dc_tbl)
-    diff = _extend(reader.bits(size), size) if size else 0
-    pred[cid] += diff
-    coef[0] = pred[cid]
-    k = 1
-    while k < 64:
-        rs = reader.huff(ac_tbl)
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r == 15:
-                k += 16  # ZRL
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC index out of range")
-        coef[k] = _extend(reader.bits(s), s)
-        k += 1
-    block = np.zeros(64)
-    block[ZIGZAG] = coef * q
-    return _C.T @ block.reshape(8, 8) @ _C

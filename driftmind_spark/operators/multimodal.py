@@ -14,9 +14,11 @@ huffman entropy decode + dequantize + float IDCT + chroma upsampling
 emits genuine pixel bands for all three.  PCM WAV samples
 (``decode_wav_samples``) and MJPEG-in-AVI video frames
 (``decode_avi_mjpeg_frames``, RIFF walk + the JPEG kernel per frame)
-are real too.  The remaining stubs, honestly marked: progressive JPEG,
-compressed audio, and inter-frame video codecs (H.264 etc.) — those
-need entropy/motion decoders this container doesn't ship.
+are real too, and the JPEG kernel covers BOTH baseline and progressive
+(SOF2: spectral selection + successive approximation) frames.  The
+remaining stubs, honestly marked: arithmetic-coded JPEG, compressed
+audio, and inter-frame video codecs (H.264 etc.) — those need
+entropy/motion decoders this container doesn't ship.
 Everything Spark-side is real and tested: schemas, Arrow batch shapes,
 mapInPandas iteration, partition sizing.  Swapping the stub for
 Pillow/ffmpeg is a one-function change that does not touch the plan.

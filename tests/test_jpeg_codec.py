@@ -1,7 +1,9 @@
-"""Baseline-JPEG decoder tests: round-trip against an independent
-in-test encoder (forward DCT + canonical huffman + byte stuffing),
-covering 4:4:4 and 4:2:0 sampling, grayscale, restart markers, and the
-progressive-JPEG NotImplementedError seam."""
+"""JPEG decoder tests: round-trip against independent in-test encoders
+(forward DCT + canonical huffman + byte stuffing), covering baseline
+4:4:4 / 4:2:0 / grayscale / restart markers AND full progressive
+(spectral selection + successive approximation with DC/AC first and
+refinement scans, per-block EOB) — the progressive stream must decode
+to pixels IDENTICAL to the baseline encoding of the same image."""
 
 import struct
 
@@ -244,13 +246,16 @@ def test_jpeg_restart_markers():
     assert np.array_equal(plain, with_rst)
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_sof2_flag_enforces_progressive_constraints():
+    """A baseline scan inside a frame MARKED progressive violates the
+    progressive DC-scan rule (Ss=0 requires Se=0) and must be rejected
+    — not silently mis-decoded."""
     rng = np.random.RandomState(47)
     img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
     data = bytearray(_encode_jpeg(img))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg_pixels(bytes(data))
 
 
@@ -264,3 +269,254 @@ def test_jpeg_media_pipeline_dimensions_agree():
     data = _encode_jpeg(img)
     assert _jpeg_dimensions(data) == (34, 21)
     assert decode_jpeg_pixels(data).shape == (21, 34, 3)
+
+
+# ---- round 4b: PROGRESSIVE encoder (independent, spec figure G.7) ---------
+
+def _quantize_comps(rgb, sampling=(1, 1)):
+    """Shared quantizer for the progressive writer: all-ones quant
+    tables, zigzag coefficient blocks per component on the padded MCU
+    grid, plus each component's true (non-interleaved) block dims."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    gray = rgb.ndim == 2 or rgb.shape[2] == 1
+    if gray:
+        comps = [(1, 1, 1, rgb.reshape(h, w) - 128.0)]
+    else:
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        sh, sv = sampling
+        comps = [(1, sh, sv, y)]
+        for cid, plane in ((2, cb), (3, cr)):
+            if sh > 1 or sv > 1:
+                ph, pw = -(-h // sv) * sv, -(-w // sh) * sh
+                p = np.zeros((ph, pw))
+                p[:h, :w] = plane
+                p[h:] = p[h - 1:h]
+                p[:, w:] = p[:, w - 1:w]
+                plane = p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            comps.append((cid, 1, 1, plane))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    out = []
+    for cid, ch, cv, plane in comps:
+        pby, pbx = mcus_y * cv, mcus_x * ch
+        p = np.zeros((pby * 8, pbx * 8))
+        p[:plane.shape[0], :plane.shape[1]] = plane
+        p[plane.shape[0]:] = p[plane.shape[0] - 1:plane.shape[0]]
+        p[:, plane.shape[1]:] = p[:, plane.shape[1] - 1:plane.shape[1]]
+        blocks = np.zeros((pby, pbx, 64), dtype=np.int64)
+        for by in range(pby):
+            for bx in range(pbx):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _C @ blk @ _C.T
+                blocks[by, bx] = np.round(coef.reshape(64)[ZIGZAG]).astype(int)
+        cw, chh = -(-w * ch // hmax), -(-h * cv // vmax)
+        out.append({"cid": cid, "h": ch, "v": cv, "blocks": blocks,
+                    "nby": -(-chh // 8), "nbx": -(-cw // 8)})
+    return h, w, out, mcus_x, mcus_y
+
+
+def _tok_scan(tokens):
+    """tokens -> (DHT body or None, packed entropy bytes).  All huffman
+    codes canonical length 8 (as in the baseline writer)."""
+    syms = [t[1] for t in tokens if t[0] == "sym"]
+    dht = codes = None
+    if syms:
+        bits, vals, codes = _huff_spec(syms)
+        dht = bytes(bits) + vals
+    bw = _BitWriter()
+    for t in tokens:
+        if t[0] == "sym":
+            bw.put(codes[t[1]], 8)
+        else:
+            _, v, nb = t
+            bw.put(v, nb)
+    bw.align()
+    return dht, bytes(bw.out)
+
+
+def _encode_jpeg_progressive(rgb, sampling=(1, 1)):
+    """Progressive JFIF writer implementing spectral selection +
+    successive approximation per spec figures G.4-G.7 — an independent
+    inverse of the decoder's documented walk (per-block EOB, no run
+    batching), using libjpeg's default scan script shape."""
+    import struct as st
+
+    h, w, comps, mcus_x, mcus_y = _quantize_comps(rgb, sampling)
+    gray = len(comps) == 1
+
+    def mcu_block_order():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield ci, my * c["v"] + by, mx * c["h"] + bx
+
+    def dc_first(al):
+        toks = []
+        pred = [0] * len(comps)
+        for ci, by, bx in mcu_block_order():
+            v = int(comps[ci]["blocks"][by, bx, 0]) >> al
+            diff = v - pred[ci]
+            pred[ci] = v
+            s, mb = _mag_bits(diff)
+            toks.append(("sym", s))
+            if s:
+                toks.append(("bits", mb, s))
+        return toks, None
+
+    def dc_refine(al):
+        toks = []
+        for ci, by, bx in mcu_block_order():
+            toks.append(("bits", (int(comps[ci]["blocks"][by, bx, 0]) >> al) & 1, 1))
+        return toks, None
+
+    def _blocks_of(ci):
+        c = comps[ci]
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                yield c["blocks"][by, bx]
+
+    def ac_first(ci, ss, se, al):
+        toks = []
+        for c in _blocks_of(ci):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(c[k])
+                t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    toks.append(("sym", 0xF0))
+                    r -= 16
+                s, mb = _mag_bits(t)
+                toks.append(("sym", (r << 4) | s))
+                toks.append(("bits", mb, s))
+                r = 0
+            if r:
+                toks.append(("sym", 0x00))  # per-block EOB
+        return toks, ci
+
+    def ac_refine(ci, ss, se, al):
+        toks = []
+        for c in _blocks_of(ci):
+            t = [abs(int(c[k])) >> al for k in range(64)]
+            hist = [abs(int(c[k])) >> (al + 1) for k in range(64)]
+            k = ss
+            while True:
+                j = next((i for i in range(k, se + 1)
+                          if hist[i] == 0 and t[i] == 1), None)
+                if j is None:
+                    if k <= se:  # decoder stops requesting codes past Se
+                        toks.append(("sym", 0x00))
+                        for i in range(k, se + 1):
+                            if hist[i]:
+                                toks.append(("bits", t[i] & 1, 1))
+                    break
+                r = sum(1 for i in range(k, j) if hist[i] == 0 and t[i] == 0)
+                pos = k
+                while r > 15:
+                    toks.append(("sym", 0xF0))
+                    zeros = 0
+                    while zeros < 16:
+                        if hist[pos]:
+                            toks.append(("bits", t[pos] & 1, 1))
+                        else:
+                            zeros += 1
+                        pos += 1
+                    r -= 16
+                toks.append(("sym", (r << 4) | 1))
+                toks.append(("bits", 1 if int(c[j]) > 0 else 0, 1))
+                while pos < j:
+                    if hist[pos]:
+                        toks.append(("bits", t[pos] & 1, 1))
+                    pos += 1
+                k = j + 1
+        return toks, ci
+
+    if gray:
+        script = [
+            ("dc", dc_first(1), None, 0, 0, 0, 1),
+            ("ac", ac_first(0, 1, 63, 1), 0, 1, 63, 0, 1),
+            ("dc", dc_refine(0), None, 0, 0, 1, 0),
+            ("ac", ac_refine(0, 1, 63, 0), 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", dc_first(1), None, 0, 0, 0, 1),
+            ("ac", ac_first(0, 1, 5, 2), 0, 1, 5, 0, 2),
+            ("ac", ac_first(2, 1, 63, 1), 2, 1, 63, 0, 1),
+            ("ac", ac_first(1, 1, 63, 1), 1, 1, 63, 0, 1),
+            ("ac", ac_first(0, 6, 63, 2), 0, 6, 63, 0, 2),
+            ("ac", ac_refine(0, 1, 63, 1), 0, 1, 63, 2, 1),
+            ("dc", dc_refine(0), None, 0, 0, 1, 0),
+            ("ac", ac_refine(2, 1, 63, 0), 2, 1, 63, 1, 0),
+            ("ac", ac_refine(1, 1, 63, 0), 1, 1, 63, 1, 0),
+            ("ac", ac_refine(0, 1, 63, 0), 0, 1, 63, 1, 0),
+        ]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = st.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += bytes([c["cid"], (c["h"] << 4) | c["v"], 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for kind, (toks, ci), *_rest in script:
+        ss, se, ah, al = _rest[1], _rest[2], _rest[3], _rest[4]
+        dht, payload = _tok_scan(toks)
+        if dht is not None:
+            tc = 0x00 if kind == "dc" else 0x10
+            out += seg(0xC4, bytes([tc]) + dht)
+        scan_comps = comps if _rest[0] is None else [comps[_rest[0]]]
+        sos = bytes([len(scan_comps)])
+        for c in scan_comps:
+            sos += bytes([c["cid"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += payload
+    out += b"\xff\xd9"
+    return out
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The full progressive scan script ends at Al=0 everywhere, so the
+    accumulated coefficients equal the baseline encoding's — decoded
+    pixels must be IDENTICAL."""
+    rng = np.random.RandomState(73)
+    img = rng.randint(0, 256, size=(24, 17, 3)).astype(np.uint8)
+    base = decode_jpeg_pixels(_encode_jpeg(img))
+    prog = decode_jpeg_pixels(_encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_grayscale_and_subsampled():
+    rng = np.random.RandomState(79)
+    gimg = rng.randint(0, 256, size=(19, 21)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(_encode_jpeg(gimg)),
+        decode_jpeg_pixels(_encode_jpeg_progressive(gimg)),
+    )
+    cimg = rng.randint(0, 256, size=(22, 27, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_pixels(_encode_jpeg(cimg, sampling=(2, 2))),
+        decode_jpeg_pixels(_encode_jpeg_progressive(cimg, sampling=(2, 2))),
+    )
+
+
+def test_jpeg_arithmetic_still_raises():
+    rng = np.random.RandomState(83)
+    img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    data = bytearray(_encode_jpeg(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC9  # arithmetic-coded sequential
+    with pytest.raises(NotImplementedError, match="SOF0/1/2"):
+        decode_jpeg_pixels(bytes(data))
