@@ -183,14 +183,114 @@ def _mp4_duration_ms(data: bytes) -> int:
     return int(duration * 1000 / timescale)
 
 
+def _g711_tables():
+    """256-entry mu-law and A-law expansion tables (ITU-T G.711),
+    computed once from the closed forms — the same expansions CPython's
+    audioop implements (the test cross-checks against it)."""
+    import numpy as np
+
+    ul = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        v = (((mant << 3) + 0x84) << exp) - 0x84
+        ul[b] = -v if sign else v
+    al = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        if exp:
+            v = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            v = (mant << 4) + 8
+        al[b] = v if sign else -v  # A-law: set sign bit = positive
+    return ul, al
+
+
+_G711_ULAW, _G711_ALAW = _g711_tables()
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA-ADPCM state transition (the DVI/IMA quantizer both WAV
+    and CPython's audioop implement)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def _ima_adpcm_decode(payload: bytes, channels: int, block_align: int,
+                      samples_per_block: int):
+    """WAV IMA-ADPCM (format tag 0x11) block decode: per block and
+    channel a 4-byte header (int16 predictor = first output sample,
+    step index), then 4-byte nibble words interleaved across channels,
+    LOW nibble first."""
+    import numpy as np
+
+    if channels < 1 or block_align < 4 * channels:
+        raise ValueError("bad IMA-ADPCM framing")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[boff:boff + block_align]
+        preds, idxs = [], []
+        want = [len(ch) + samples_per_block for ch in chans]
+        for c in range(channels):
+            pred, idx, _res = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("IMA step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)
+        data = block[4 * channels:]
+        for w in range(0, len(data) - 4 * channels + 1, 4 * channels):
+            for c in range(channels):
+                for byte in data[w + 4 * c:w + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+        for c in range(channels):  # trim per-block padding nibbles
+            del chans[c][want[c]:]
+    n = min(len(ch) for ch in chans)
+    out = np.empty((n, channels), dtype=np.int16)
+    for c in range(channels):
+        out[:, c] = chans[c][:n]
+    return out
+
+
 def decode_wav_samples(data: bytes):
-    """REAL PCM WAV sample decode, pure struct + numpy (round 4):
-    returns (samples int16[n_frames, channels], sample_rate).  Supports
-    the dominant uncompressed profiles — format tag 1 (integer PCM) at
-    8/16/24/32 bits and tag 3 (float32), everything normalized to
-    int16.  Compressed WAV (ADPCM, mp3-in-wav) raises
-    ``NotImplementedError`` — those need codec libraries this container
-    doesn't ship."""
+    """REAL WAV sample decode, pure struct + numpy (round 4): returns
+    (samples int16[n_frames, channels], sample_rate).  Supports the
+    uncompressed profiles — format tag 1 (integer PCM) at 8/16/24/32
+    bits and tag 3 (float32) — plus the G.711 telephony codecs (tag 7
+    mu-law, tag 6 A-law, table expansion) and block-structured IMA
+    ADPCM (tag 0x11, a real compressed codec — per-block predictor
+    headers, channel-interleaved nibble words), everything normalized
+    to int16.  Other compressed WAV (MS-ADPCM, mp3-in-wav) raises
+    ``NotImplementedError``."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -204,14 +304,16 @@ def decode_wav_samples(data: bytes):
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             tag, channels, rate = struct.unpack("<HHI", body[:8])
-            bits = struct.unpack("<H", body[14:16])[0]
-            fmt = (tag, channels, rate, bits)
+            block_align, bits = struct.unpack("<HH", body[12:16])
+            extra = (struct.unpack("<H", body[18:20])[0]
+                     if len(body) >= 20 else None)
+            fmt = (tag, channels, rate, bits, block_align, extra)
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
-    tag, channels, rate, bits = fmt
+    tag, channels, rate, bits, block_align, extra = fmt
     if tag == 1 and bits == 16:
         samples = np.frombuffer(payload, dtype="<i2")
     elif tag == 1 and bits == 8:  # unsigned 8-bit
@@ -230,6 +332,13 @@ def decode_wav_samples(data: bytes):
     elif tag == 3 and bits == 32:
         f = np.frombuffer(payload, dtype="<f4").astype(np.float64)
         samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif tag == 7 and bits == 8:   # G.711 mu-law (round 4)
+        samples = _G711_ULAW[np.frombuffer(payload, dtype=np.uint8)]
+    elif tag == 6 and bits == 8:   # G.711 A-law (round 4)
+        samples = _G711_ALAW[np.frombuffer(payload, dtype=np.uint8)]
+    elif tag == 0x11 and bits == 4:  # IMA ADPCM (round 4)
+        spb = extra if extra else (block_align - 4 * channels) * 2 // channels + 1
+        return _ima_adpcm_decode(payload, channels, block_align, spb), int(rate)
     else:
         raise NotImplementedError(
             f"compressed/unsupported WAV (format tag {tag}, {bits}-bit)"

@@ -881,3 +881,92 @@ def test_avi_non_mjpeg_falls_back(spark):
     )
     out = sample_frames(df, every_n_bytes=16, max_frames=2).collect()
     assert len(out) >= 1  # fallback produced byte-range frames
+
+
+def test_wav_g711_mulaw_alaw_match_audioop():
+    """G.711 mu-law/A-law expansion must agree byte-for-byte with
+    CPython's audioop (the independent stdlib implementation)."""
+    import struct as st
+
+    import audioop
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_wav_samples
+
+    pcm = _tone_mix(7, n=3000)[:, 0].astype("<i2")
+    for tag, enc_fn, dec_fn in (
+        (7, audioop.lin2ulaw, audioop.ulaw2lin),
+        (6, audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        enc = enc_fn(pcm.tobytes(), 2)
+        fmt = st.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(enc))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(enc)) + enc)
+        got, rate = decode_wav_samples(wav)
+        expect = np.frombuffer(dec_fn(enc, 2), dtype="<i2")
+        assert rate == 8000
+        assert np.array_equal(got[:, 0], expect), f"tag {tag} mismatch"
+
+
+def test_wav_ima_adpcm_matches_audioop():
+    """IMA-ADPCM block decode vs CPython's audioop DVI decoder on the
+    SAME nibble streams (audioop packs high-nibble-first and takes the
+    block header as its seed state) — random streams, mono and stereo."""
+    import struct as st
+
+    import audioop
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_wav_samples
+
+    rng = np.random.RandomState(91)
+
+    def wav(channels, block_align, spb, payload):
+        fmt = st.pack("<HHIIHHHH", 0x11, channels, 8000,
+                      8000 * block_align // (spb or 1), block_align, 4, 2, spb)
+        return (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+                + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(payload)) + payload)
+
+    def oracle_channel(pred, idx, nib_bytes):
+        swapped = bytes(((b << 4) | (b >> 4)) & 0xFF for b in nib_bytes)
+        dec, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+        return [pred] + list(np.frombuffer(dec, "<i2"))
+
+    # mono: 3 blocks of 32 data bytes -> 65 samples/block
+    ba, spb = 4 + 32, 65
+    payload = b""
+    expect = []
+    for _ in range(3):
+        pred = int(rng.randint(-30000, 30000))
+        idx = int(rng.randint(0, 89))
+        data = bytes(int(x) for x in rng.randint(0, 256, size=32))
+        payload += st.pack("<hBB", pred, idx, 0) + data
+        expect.extend(oracle_channel(pred, idx, data))
+    got, rate = decode_wav_samples(wav(1, ba, spb, payload))
+    assert rate == 8000
+    assert got[:, 0].tolist() == expect
+
+    # stereo: words interleave channels in 4-byte groups
+    ba2, spb2 = 8 + 32, 17  # 16 data bytes/channel -> 33 nibs... 4 words
+    payload2 = b""
+    exp_ch = [[], []]
+    for _ in range(2):
+        hdrs = []
+        streams = [b"", b""]
+        for c in range(2):
+            pred = int(rng.randint(-30000, 30000))
+            idx = int(rng.randint(0, 89))
+            hdrs.append(st.pack("<hBB", pred, idx, 0))
+            data = bytes(int(x) for x in rng.randint(0, 256, size=16))
+            streams[c] = data
+            exp_ch[c].extend(oracle_channel(pred, idx, data)[:spb2])
+        words = b"".join(
+            streams[0][w:w + 4] + streams[1][w:w + 4]
+            for w in range(0, 16, 4)
+        )
+        payload2 += b"".join(hdrs) + words
+    got2, _ = decode_wav_samples(wav(2, ba2, spb2, payload2))
+    assert got2[:, 0].tolist() == exp_ch[0]
+    assert got2[:, 1].tolist() == exp_ch[1]
