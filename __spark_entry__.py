@@ -944,10 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _hyperplane_near_dup_sql(
     threshold: float = 0.3,
-    dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 4,
-    seed: int = 7,
     n_probes: int = 1,
     max_bucket_size: int = 1024,
 ) -> str:
@@ -959,7 +955,15 @@ def _hyperplane_near_dup_sql(
     wraps (hyperplane_bucket_keys, via scripts/make_oracle_fixtures.py),
     so both engines block identically BY CONSTRUCTION.  The hot-bucket
     cap, candidate self-join, exact-cosine verification and threshold
-    remain independent DuckDB SQL."""
+    remain independent DuckDB SQL.
+
+    The LSH parameters (dim=64, n_planes=6, n_tables=4, seed=7) are
+    BAKED INTO the fixtures — they are deliberately not parameters here
+    anymore: accepting-but-ignoring them would let the Spark side drift
+    from the fixture blocking silently.  Changing them means
+    regenerating the fixtures (scripts/make_oracle_fixtures.py)."""
+    if n_probes not in (1, 2):
+        raise ValueError("fixtures exist only for n_probes in {1, 2}")
     return f"""
             with v as (
                 select vec_id, embedding::double[] as vec from embeddings

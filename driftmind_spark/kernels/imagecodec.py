@@ -291,6 +291,8 @@ def _decode_entropy(data, pos, frame, scan, ss, se, ah, al,
     def dc_unit(c, tdc):
         if ah == 0:
             size = reader.huff(huff_dc[tdc])
+            if size > 15:  # corrupt DHT: a huge magnitude category
+                raise ValueError("bad DC magnitude size")
             diff = _extend(reader.bits(size), size) if size else 0
             cid_pred = pred[cur_cid[0]] + diff
             pred[cur_cid[0]] = cid_pred

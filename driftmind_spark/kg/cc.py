@@ -128,8 +128,15 @@ def connected_components(
             stats["rounds"] = 0
             stats["mode"] = "driver_union_find"
         spark = vertices.sparkSession
-        label_df = spark.createDataFrame(labels, "id long, component long") \
-            if labels else spark.createDataFrame([], "id long, component long")
+        # the label schema follows the VERTEX id type — dedup over media
+        # ids runs CC on strings, the KG path on int64 mention ids
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = vertices.schema[id_col].dataType
+        label_schema = StructType([
+            StructField("id", id_type), StructField("component", id_type),
+        ])
+        label_df = spark.createDataFrame(labels, label_schema)
         ids = vertices.select(F.col(id_col).alias("id"))
         return ids.join(F.broadcast(label_df), "id", "left").select(
             "id", F.coalesce("component", F.col("id")).alias("component")

@@ -314,6 +314,8 @@ def decode_wav_samples(data: bytes):
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
     tag, channels, rate, bits, block_align, extra = fmt
+    if channels < 1:  # corrupt fmt: avoid ZeroDivisionError downstream
+        raise ValueError("fmt chunk declares zero channels")
     if tag == 1 and bits == 16:
         samples = np.frombuffer(payload, dtype="<i2")
     elif tag == 1 and bits == 8:  # unsigned 8-bit
@@ -929,7 +931,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             try:
                 samples, _ = decode_wav_samples(data)
-            except (NotImplementedError, ValueError, struct.error):
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, EOFError):
                 samples = None
             if samples is not None and len(samples):
                 k = min(max_frames, len(samples))
@@ -941,15 +944,8 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                 ]
         if (data[:8] == _PNG_SIG or data[:4] == b"GIF8"
                 or data[:3] == b"\xff\xd8\xff"):
-            from ..kernels.imagecodec import decode_jpeg_pixels
-
             try:
-                if data[:8] == _PNG_SIG:
-                    px = decode_png_pixels(data)
-                elif data[:4] == b"GIF8":
-                    px = decode_gif_pixels(data)
-                else:
-                    px = decode_jpeg_pixels(data)
+                px = decode_image_pixels(data)  # shared format dispatch
             except (NotImplementedError, ValueError, struct.error,
                     IndexError, EOFError):
                 px = None

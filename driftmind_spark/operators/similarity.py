@@ -193,33 +193,42 @@ def ivf_topk(
     cosine re-rank inside the probed lists.
 
     Scale shape: the quantizer trains on a DETERMINISTIC BOUNDED sample
-    (``vec_id % sample_mod == 0``).  By default ``sample_mod`` is derived
-    from the corpus row count so the driver collect lands at
-    ``<= max_sample_rows`` regardless of corpus size — at crawl scale
-    that is ~10^5 rows, never the corpus.  A hard guard raises if the
-    collected sample still exceeds the cap (possible only when the
-    caller forces ``sample_mod`` too small, or the ``vec_id`` space is
-    pathologically clustered on multiples of the mod).  Centroids
-    broadcast inside the assignment UDF's closure, each side is scanned
-    once, and the candidate join is an equi-join on ``list_id`` — probe
-    cost is |list| * n_probe instead of |corpus|."""
+    (``pmod(xxhash64(vec_id), sample_mod) == 0`` — hashing makes the
+    1/mod keep-rate hold for ANY id structure; a raw ``vec_id % mod``
+    filter returns an EMPTY sample when ids share a residue class,
+    e.g. all-odd keeper ids after dedup).  By default ``sample_mod`` is
+    derived from the corpus row count so the driver collect lands near
+    ``max_sample_rows`` regardless of corpus size — at crawl scale that
+    is ~10^5 rows, never the corpus.  Hard guards raise on an over-cap
+    sample (caller forced ``sample_mod`` too small) and on an empty one
+    (degenerate corpus).  Centroids broadcast inside the assignment
+    UDF's closure, each side is scanned once, and the candidate join is
+    an equi-join on ``list_id`` — probe cost is |list| * n_probe
+    instead of |corpus|."""
     import numpy as np
 
     if sample_mod is None:
-        # ceil(count / cap): for a dense 0..n-1 vec_id space the mod
-        # filter then keeps ceil(n / mod) <= max_sample_rows rows.
+        # ceil(count / cap): the hash keeps ~1/mod of rows uniformly.
         n = corpus.count()
         sample_mod = max(1, -(-n // max_sample_rows))
     sample_rows = (
-        corpus.filter(F.col("vec_id") % sample_mod == 0)
+        corpus.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+        )
         .select("vec_id", "embedding")
         .collect()
     )
-    if len(sample_rows) > max_sample_rows:
+    # 2x slack: the hashed keep-rate concentrates tightly around 1/mod
+    if len(sample_rows) > 2 * max_sample_rows:
         raise ValueError(
             f"ivf_topk training sample ({len(sample_rows)} rows) exceeds "
             f"max_sample_rows={max_sample_rows}; raise sample_mod (got "
             f"{sample_mod}) or the cap — refusing an unbounded driver collect"
+        )
+    if not sample_rows:
+        raise ValueError(
+            "ivf_topk training sample is empty — corpus too small for "
+            f"sample_mod={sample_mod}; pass a smaller sample_mod"
         )
     sample_rows.sort(key=lambda r: r["vec_id"])
     cents = train_ivf_centroids(

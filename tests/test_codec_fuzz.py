@@ -167,3 +167,34 @@ def test_extract_mutated_valid_files_never_crash(kind, pos, val, trunc):
     assert isinstance(out, str)
     ok, text, err = extract_text(url, data)
     assert isinstance(text, str) and isinstance(err, str)
+
+
+# ---- pinned regressions from the round-4 self-review ----------------------
+
+def test_wav_zero_channels_raises_cleanly():
+    """fmt declaring channels=0 must be a ValueError, never a
+    ZeroDivisionError crashing the Spark task."""
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    data = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav_samples(data)
+
+
+def test_jpeg_corrupt_dc_size_raises_cleanly():
+    """A DHT assigning a DC magnitude category > 15 must be a
+    ValueError, never an OverflowError from a 200-bit integer."""
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([200])  # sym=200
+    dht_ac = bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00])
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    data = (b"\xff\xd8"
+            + chunk(0xDB, bytes([0]) + bytes([1] * 64))
+            + chunk(0xC0, sof) + chunk(0xC4, dht_dc) + chunk(0xC4, dht_ac)
+            + chunk(0xDA, sos) + b"\x00" * 40 + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(data)

@@ -438,7 +438,37 @@ def test_ivf_training_sample_bounded_by_default(spark, monkeypatch):
         k=5, n_centroids=4, n_probe=2, max_sample_rows=100,
     )
     assert out.count() == 15
-    assert 0 < seen["n"] <= 100, f"sample size {seen['n']} exceeds cap"
+    # hashed sampling keeps ~1/mod of rows; the operator's hard guard
+    # allows 2x slack over the cap
+    assert 0 < seen["n"] <= 200, f"sample size {seen['n']} exceeds cap"
+
+
+def test_ivf_sampling_survives_residue_clustered_ids(spark, monkeypatch):
+    """Ids sharing a residue class (all odd — e.g. post-dedup keeper
+    ids) must still yield a non-empty bounded sample: the round-4 raw
+    `vec_id % mod` filter would have collected ZERO rows here."""
+    import numpy as np
+
+    from driftmind_spark.operators import similarity as sim
+
+    seen = {}
+    real_train = sim.train_ivf_centroids
+
+    def spy(sample, *a, **kw):
+        seen["n"] = len(sample)
+        return real_train(sample, *a, **kw)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", spy)
+    rng = np.random.RandomState(13)
+    rows = [(2 * i + 1, rng.randn(8).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 7),
+        emb.filter(F.col("vec_id") >= 7),
+        k=5, n_centroids=4, n_probe=2, max_sample_rows=64,
+    )
+    assert out.count() == 15
+    assert 0 < seen["n"] <= 128, seen
 
 
 def test_ivf_explicit_oversized_sample_raises(spark):
@@ -529,3 +559,24 @@ def test_dedup_resolution_composes_with_minhash(spark):
     assert kept <= 3 + 3 + 1
     assert res.count() == 15
     assert res.filter("cluster_size >= 4").count() >= 4
+
+
+def test_dedup_resolution_string_ids(spark):
+    """The documented composition with the perceptual pair families:
+    STRING media ids must flow through the CC driver path (its label
+    schema follows the vertex id type — round-4 review fix)."""
+    docs = spark.createDataFrame(
+        [(f"m{i}",) for i in range(6)], "media_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("m0", "m1"), ("m1", "m2"), ("m4", "m5")],
+        "media_a string, media_b string",
+    )
+    got = {r["media_id"]: (r["keeper_id"], r["is_keeper"], r["cluster_size"])
+           for r in dd.dedup_resolution(
+               docs, pairs, id_col="media_id",
+               pair_a="media_a", pair_b="media_b").collect()}
+    assert got["m2"] == ("m0", False, 3)
+    assert got["m0"] == ("m0", True, 3)
+    assert got["m3"] == ("m3", True, 1)
+    assert got["m5"] == ("m4", False, 2)
