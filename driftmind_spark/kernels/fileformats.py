@@ -1,4 +1,4 @@
-"""Byte-level PDF and DOCX codecs (pure stdlib, executor-importable).
+r"""Byte-level PDF and DOCX codecs (pure stdlib, executor-importable).
 
 The reference extracts text from REAL file bytes — PDF via PdfPig
 (``Services/FileProcessingService.cs:92-202``) and DOCX via OpenXml

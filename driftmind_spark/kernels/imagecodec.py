@@ -80,8 +80,12 @@ class _BitReader:
                 raise EOFError("marker inside entropy stream")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Mask to the live bits: without this, consumed history accumulates
+        # in an ever-growing Python bigint and each fill's shift is O(bytes
+        # read so far) -- quadratic in entropy-segment size (a 317 KB JPEG
+        # took 107 s; masked it takes <1 s, bit-identical output).
         self.nbits += 8
+        self.acc = ((self.acc << 8) | b) & ((1 << self.nbits) - 1)
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -440,11 +444,18 @@ def _reconstruct(frame, state, qt):
             .reshape(nby * 8, nbx * 8)
         )
         if comp["h"] != hmax or comp["v"] != vmax:
-            plane = np.repeat(
-                np.repeat(plane, vmax // comp["v"], axis=0),
-                hmax // comp["h"], axis=1,
-            )
-        out.append(plane[:h, :w])
+            # Nearest-neighbor gather via index maps rather than np.repeat:
+            # integer-divisible ratios (2:1, 4:1) give results identical to
+            # repeat, and legal non-divisible mixes (e.g. hmax=3 vs h=2)
+            # upsample correctly instead of producing a short plane that
+            # breaks np.stack in the color transform.
+            ri = np.minimum((np.arange(h) * comp["v"]) // vmax,
+                            plane.shape[0] - 1)
+            ci = np.minimum((np.arange(w) * comp["h"]) // hmax,
+                            plane.shape[1] - 1)
+            out.append(plane[ri[:, None], ci])
+        else:
+            out.append(plane[:h, :w])
     if len(out) == 1:
         y = np.clip(np.round(out[0] + 128.0), 0, 255)
         return y.astype(np.uint8)[:, :, None]

@@ -71,6 +71,10 @@ FRAME_SCHEMA = StructType(
         StructField("media_id", StringType(), False),
         StructField("frame_index", IntegerType(), False),
         StructField("frame", BinaryType(), False),
+        # Self-describing payload kind so byte-range stand-ins can never be
+        # consumed as decoded media: "pixels" (uint8 image band), "audio"
+        # (int16 sample band), or "bytes" (raw file byte-range fallback).
+        StructField("kind", StringType(), False),
     ]
 )
 
@@ -621,15 +625,26 @@ def decode_avi_mjpeg_frames(data: bytes, max_frames: int = 4):
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI stream")
     frames = []
+    def _scan(lo: int, hi: int) -> bool:
+        for fid, flo, fhi in _riff_chunks(data, lo, hi):
+            # Interleaved AVIs commonly wrap each frame group in a nested
+            # LIST 'rec ' inside 'movi'; recurse one level so those files
+            # decode instead of falling through to the byte-range stand-in.
+            if fid == b"LIST" and data[flo:flo + 4] == b"rec ":
+                if _scan(flo + 4, fhi):
+                    return True
+            elif fid[2:4] in (b"dc", b"db"):
+                payload = data[flo:fhi]
+                if payload[:3] == b"\xff\xd8\xff":
+                    frames.append(decode_jpeg_pixels(payload))
+                    if len(frames) >= max_frames:
+                        return True
+        return False
+
     for cid, lo, hi in _riff_chunks(data, 12, len(data)):
         if cid == b"LIST" and data[lo:lo + 4] == b"movi":
-            for fid, flo, fhi in _riff_chunks(data, lo + 4, hi):
-                if fid[2:4] in (b"dc", b"db"):
-                    payload = data[flo:fhi]
-                    if payload[:3] == b"\xff\xd8\xff":
-                        frames.append(decode_jpeg_pixels(payload))
-                        if len(frames) >= max_frames:
-                            return frames
+            if _scan(lo + 4, hi):
+                return frames
     if not frames:
         raise ValueError("no MJPEG frames found")
     return frames
@@ -695,8 +710,13 @@ def phash64(pixels) -> int:
         k == 0, np.sqrt(1 / n), np.sqrt(2 / n)
     )
     coef = c32 @ small @ c32.T
-    block = coef[:8, :8].reshape(64)
-    med = np.median(block[1:])
+    # 64 AC coefficients only: DC (32x mean brightness) is virtually always
+    # above the AC median, so including it would pin one hash bit constant
+    # across all images (~63 effective bits).  Standard pHash excludes DC;
+    # we take the 63 remaining low-frequency coefficients of the 8x8 corner
+    # plus coef[0, 8], the next purely-horizontal frequency, to stay at 64.
+    block = np.concatenate([coef[:8, :8].reshape(64)[1:], coef[0:1, 8]])
+    med = np.median(block)
     bits = block > med
     val = 0
     for i in range(64):
@@ -912,16 +932,21 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
     bytes.  Undecodable blobs and formats without an in-container
     decoder (video) keep the deterministic byte-range stand-in so the
     Spark-side plumbing stays testable — replace ``_fake_frame`` with
-    ffmpeg when available (the remaining marked seam)."""
+    ffmpeg when available (the remaining marked seam).
+
+    Round 5: every frame row carries a ``kind`` column ("pixels" /
+    "audio" / "bytes") so the byte-range stand-ins are self-describing —
+    a downstream consumer filters ``kind = 'pixels'`` instead of
+    re-sniffing the blob to tell decoded bands from raw bytes."""
 
     def _fake_frame(data: bytes, i: int) -> bytes:
         start = i * every_n_bytes
         return data[start:start + every_n_bytes]
 
-    def _frames(data: bytes) -> list[bytes]:
+    def _frames(data: bytes) -> tuple[str, list[bytes]]:
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             try:
-                return [
+                return "pixels", [
                     px.tobytes()
                     for px in decode_avi_mjpeg_frames(data, max_frames)
                 ]
@@ -937,7 +962,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
             if samples is not None and len(samples):
                 k = min(max_frames, len(samples))
                 band = -(-len(samples) // k)
-                return [
+                return "audio", [
                     samples[i * band:(i + 1) * band].tobytes()
                     for i in range(k)
                     if samples[i * band:(i + 1) * band].size
@@ -953,23 +978,24 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                 h = px.shape[0]
                 k = min(max_frames, h)
                 band = -(-h // k)
-                return [
+                return "pixels", [
                     px[i * band:(i + 1) * band].tobytes()
                     for i in range(k)
                     if px[i * band:(i + 1) * band].size
                 ]
         n = min(max_frames, max(1, len(data) // every_n_bytes))
-        return [_fake_frame(data, i) for i in range(n)]
+        return "bytes", [_fake_frame(data, i) for i in range(n)]
 
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob)
-                for i, frame in enumerate(_frames(data)):
+                kind, frames = _frames(data)
+                for i, frame in enumerate(frames):
                     rows.append(
                         {"media_id": str(mid), "frame_index": i,
-                         "frame": frame}
+                         "frame": frame, "kind": kind}
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 

@@ -196,35 +196,53 @@ def ivf_topk(
     (``pmod(xxhash64(vec_id), sample_mod) == 0`` — hashing makes the
     1/mod keep-rate hold for ANY id structure; a raw ``vec_id % mod``
     filter returns an EMPTY sample when ids share a residue class,
-    e.g. all-odd keeper ids after dedup).  By default ``sample_mod`` is
-    derived from the corpus row count so the driver collect lands near
-    ``max_sample_rows`` regardless of corpus size — at crawl scale that
-    is ~10^5 rows, never the corpus.  Hard guards raise on an over-cap
-    sample (caller forced ``sample_mod`` too small) and on an empty one
-    (degenerate corpus).  Centroids broadcast inside the assignment
+    e.g. all-odd keeper ids after dedup).  By default (``sample_mod``
+    unset) the sample is the global top-``max_sample_rows`` rows by
+    ``xxhash64(vec_id)`` — a single TakeOrderedAndProject action, so the
+    driver collect is bounded by construction at any corpus size AND the
+    expensive upstream lineage is evaluated exactly once (no separate
+    count action).  Hard guards raise on an over-cap sample (caller
+    forced ``sample_mod`` too small) and on an empty one (degenerate
+    corpus).  Centroids broadcast inside the assignment
     UDF's closure, each side is scanned once, and the candidate join is
     an equi-join on ``list_id`` — probe cost is |list| * n_probe
     instead of |corpus|."""
     import numpy as np
 
     if sample_mod is None:
-        # ceil(count / cap): the hash keeps ~1/mod of rows uniformly.
-        n = corpus.count()
-        sample_mod = max(1, -(-n // max_sample_rows))
-    sample_rows = (
-        corpus.filter(
-            F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+        # ONE bounded action, no prior count: global top-max_sample_rows by
+        # xxhash64(vec_id).  Spark compiles orderBy+limit to
+        # TakeOrderedAndProject (map-side partial top-k + driver merge — no
+        # full sort, no shuffle of the corpus), so the collect is bounded by
+        # construction at any corpus size, the hash order makes the sample
+        # uniformly pseudo-random AND deterministic, and — unlike the earlier
+        # count-then-filter scheme — UDF-heavy upstream lineage runs ONCE,
+        # not once for the count and again for the sample (the repeated-
+        # action trap kg/cc.py round 3 removed).  When the corpus has fewer
+        # rows than the cap this returns every row, so small-corpus fixtures
+        # (sf0.01: all 2,000 vectors) are bit-unchanged.
+        sample_rows = (
+            corpus.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+            .limit(max_sample_rows)
+            .collect()
         )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    # 2x slack: the hashed keep-rate concentrates tightly around 1/mod
-    if len(sample_rows) > 2 * max_sample_rows:
-        raise ValueError(
-            f"ivf_topk training sample ({len(sample_rows)} rows) exceeds "
-            f"max_sample_rows={max_sample_rows}; raise sample_mod (got "
-            f"{sample_mod}) or the cap — refusing an unbounded driver collect"
+    else:
+        sample_rows = (
+            corpus.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(sample_mod)) == 0
+            )
+            .select("vec_id", "embedding")
+            .collect()
         )
+        # 2x slack: the hashed keep-rate concentrates tightly around 1/mod
+        if len(sample_rows) > 2 * max_sample_rows:
+            raise ValueError(
+                f"ivf_topk training sample ({len(sample_rows)} rows) exceeds "
+                f"max_sample_rows={max_sample_rows}; raise sample_mod (got "
+                f"{sample_mod}) or the cap — refusing an unbounded driver "
+                "collect"
+            )
     if not sample_rows:
         raise ValueError(
             "ivf_topk training sample is empty — corpus too small for "

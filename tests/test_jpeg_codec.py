@@ -512,6 +512,78 @@ def test_jpeg_progressive_grayscale_and_subsampled():
     )
 
 
+def test_bitreader_accumulator_stays_bounded():
+    """Round-5 perf regression (advice item): _BitReader._fill used to
+    keep ALL consumed history in `acc`, so each fill shifted an
+    ever-growing Python bigint — decode time quadratic in entropy-
+    segment size (a 317 KB JPEG took 107 s).  Pin the fix structurally:
+    after consuming a large stream the accumulator must hold only the
+    live bits, never the history."""
+    from driftmind_spark.kernels.imagecodec import _BitReader
+
+    data = bytes([0x55]) * 65536  # no 0xFF, so the reader never stops
+    r = _BitReader(data, 0)
+    for _ in range(65536):
+        r.bits(8)
+    # live bits only: at most one byte outstanding (plus the mask slack)
+    assert r.acc.bit_length() <= 16, (
+        f"accumulator retained {r.acc.bit_length()} bits of history"
+    )
+
+
+def test_large_jpeg_decodes_quickly():
+    """End-to-end guard for the same quadratic-bigint bug: a noise image
+    whose entropy segment is a few hundred KB must decode in seconds,
+    not minutes (pre-fix: 317 KB took 107 s; post-fix <1 s)."""
+    import time
+
+    rng = np.random.RandomState(19)
+    img = rng.randint(0, 256, size=(256, 256, 3)).astype(np.uint8)
+    blob = _encode_jpeg(img)
+    assert len(blob) > 100_000  # noise compresses badly — real-size stream
+    t0 = time.monotonic()
+    out = decode_jpeg_pixels(blob)
+    elapsed = time.monotonic() - t0
+    assert out.shape == (256, 256, 3)
+    # generous bound: linear path is ~1-3 s here even on a loaded host;
+    # the quadratic path exceeded 60 s at this size
+    assert elapsed < 30, f"large-JPEG decode took {elapsed:.1f}s"
+
+
+def test_non_integer_chroma_ratio_upsamples():
+    """Legal non-divisible sampling mixes (hmax=3 vs comp h=2) used to
+    produce a short chroma plane and crash np.stack with ValueError;
+    the index-map gather must upsample them correctly."""
+    from driftmind_spark.kernels.imagecodec import _reconstruct
+
+    frame = {
+        "h": 8, "w": 48, "progressive": False,
+        "comps": [
+            {"id": 1, "h": 3, "v": 1, "tq": 0},
+            {"id": 2, "h": 2, "v": 1, "tq": 0},
+            {"id": 3, "h": 2, "v": 1, "tq": 0},
+        ],
+    }
+    # hmax=3, vmax=1 -> mcus_x = ceil(48/24) = 2: Y grid 1x6, chroma 1x4
+    state = {
+        1: np.zeros((1, 6, 64), dtype=np.int64),
+        2: np.zeros((1, 4, 64), dtype=np.int64),
+        3: np.zeros((1, 4, 64), dtype=np.int64),
+    }
+    # flat DC-only blocks: distinct Cb DC per block so the gather map is
+    # observable in the output
+    for bx in range(4):
+        state[2][0, bx, 0] = 80 * (bx % 2)
+    out = _reconstruct(frame, state, {0: np.ones(64)})
+    assert out.shape == (8, 48, 3)
+    # chroma x-coverage: target col i reads chroma col (i*2)//3 — block 0
+    # (cols 0..7 of the chroma plane) covers output cols 0..11
+    # (dc=0 -> b == y), block 1 (chroma cols 8..15, dc=80) covers output
+    # cols 12..23 (b > y by ~1.772 * 80/8)
+    assert int(out[0, 0, 2]) == int(out[0, 0, 1])  # Cb=0 region: b == g
+    assert int(out[0, 20, 2]) > int(out[0, 20, 1]) + 10  # Cb>0 region
+
+
 def test_jpeg_arithmetic_still_raises():
     rng = np.random.RandomState(83)
     img = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)

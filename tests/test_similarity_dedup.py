@@ -414,9 +414,11 @@ def test_simhash_manku_equals_bruteforce_property(spark):
 
 
 def test_ivf_training_sample_bounded_by_default(spark, monkeypatch):
-    """Scale guard (round 4): on a corpus LARGER than max_sample_rows the
-    default path must derive sample_mod from the corpus count so the
-    driver-side training collect stays <= the cap — never the corpus."""
+    """Scale guard (round 4, tightened round 5): on a corpus LARGER than
+    max_sample_rows the default path takes the global top-cap rows by
+    xxhash64(vec_id) in ONE TakeOrdered action, so the driver-side
+    training collect is bounded by construction — never the corpus, and
+    no separate count() action over the upstream lineage."""
     import numpy as np
 
     from driftmind_spark.operators import similarity as sim

@@ -145,6 +145,8 @@ def test_sample_frames_shape(spark, media_df):
     m2 = pdf[pdf.media_id == "m2"]
     assert list(m2["frame_index"]) == [0, 1]  # 3004 bytes -> 2 frames
     assert len(bytes(m2.iloc[0]["frame"])) == 1024
+    # undecodable (SOF-less jpeg) -> byte-range stand-in, marked as such
+    assert set(m2["kind"]) == {"bytes"}
 
 
 def test_stream_new_versions_stateful_gate(spark, tmp_path_factory):
@@ -433,11 +435,13 @@ def test_sample_frames_real_png_pixels(spark):
     df = spark.createDataFrame(
         [("p1", bytearray(png))], "media_id string, blob binary"
     )
-    frames = {r["frame_index"]: bytes(r["frame"])
-              for r in sample_frames(df, max_frames=4).collect()}
+    rows = sample_frames(df, max_frames=4).collect()
+    frames = {r["frame_index"]: bytes(r["frame"]) for r in rows}
     assert len(frames) == 4  # 8 rows / 4 frames = 2-row bands
     for i in range(4):
         assert frames[i] == img[2 * i:2 * i + 2].tobytes()
+    # decoded output is self-describing (round 5)
+    assert all(r["kind"] == "pixels" for r in rows)
 
 
 # ---- round 4: real GIF pixel decode (pure-python LZW) ---------------------
@@ -680,11 +684,12 @@ def test_sample_frames_real_wav_samples(spark):
     df = spark.createDataFrame(
         [("w1", bytearray(wav))], "media_id string, blob binary"
     )
-    frames = {r["frame_index"]: bytes(r["frame"])
-              for r in sample_frames(df, max_frames=4).collect()}
+    rows = sample_frames(df, max_frames=4).collect()
+    frames = {r["frame_index"]: bytes(r["frame"]) for r in rows}
     assert len(frames) == 4  # 40 sample frames over 4 bands of 10
     for i in range(4):
         assert frames[i] == mono[10 * i:10 * i + 10].tobytes()
+    assert all(r["kind"] == "audio" for r in rows)
 
 
 # ---- round 4: perceptual image hashing + image near-dups ------------------
@@ -872,6 +877,48 @@ def test_avi_mjpeg_frames_and_metadata(spark):
         assert got[i] == decode_jpeg_pixels(j).tobytes()
 
 
+def test_avi_nested_rec_lists_decode(spark):
+    """Interleaved AVIs wrap frame groups in nested LIST 'rec ' inside
+    'movi'; the walk must recurse into them instead of reporting 'no
+    MJPEG frames found' (round-5 advice item)."""
+    import struct as st
+
+    import numpy as np
+
+    from driftmind_spark.kernels.imagecodec import decode_jpeg_pixels
+    from driftmind_spark.operators.multimodal import decode_avi_mjpeg_frames
+    from tests.test_jpeg_codec import _encode_jpeg
+
+    def chunk(cid, body):
+        return cid + st.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    rng = np.random.RandomState(73)
+    imgs = [rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+            for _ in range(2)]
+    jpegs = [_encode_jpeg(im) for im in imgs]
+    avih = st.pack("<IIIII", 100_000, 0, 0, 0, 2)
+    avih += st.pack("<III", 0, 1, 0) + st.pack("<II", 8, 8) + b"\x00" * 16
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    # each frame wrapped in its own LIST 'rec ' group
+    movi_body = b"movi" + b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in jpegs
+    )
+    body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+
+    frames = decode_avi_mjpeg_frames(avi, max_frames=4)
+    assert len(frames) == 2
+    for got, j in zip(frames, jpegs):
+        assert np.array_equal(got, decode_jpeg_pixels(j))
+
+    # and through the Spark operator: decoded pixel bands, marked as such
+    df = spark.createDataFrame(
+        [("vr", bytearray(avi))], "media_id string, blob binary"
+    )
+    rows = sample_frames(df, max_frames=4).collect()
+    assert {r["kind"] for r in rows} == {"pixels"}
+
+
 def test_avi_non_mjpeg_falls_back(spark):
     """An AVI whose video chunks aren't JPEG (e.g. H.264) keeps the
     byte-range stand-in instead of crashing."""
@@ -881,6 +928,8 @@ def test_avi_non_mjpeg_falls_back(spark):
     )
     out = sample_frames(df, every_n_bytes=16, max_frames=2).collect()
     assert len(out) >= 1  # fallback produced byte-range frames
+    # the stand-in is self-describing, never mistakable for pixel bands
+    assert all(r["kind"] == "bytes" for r in out)
 
 
 def test_wav_g711_mulaw_alaw_match_audioop():
