@@ -1,6 +1,9 @@
 """End-to-end KG construction pipeline (north_rule):
 
-  pages ──> chunks (extract/chunk/embed)          [stage: chunks,  bucketed]
+  pages ──> extracted (boilerplate-strip once)    [stage: extract, bucketed]
+        └─> extracted_dedup (optional near-dup    [stage: dedup,   global]
+            MinHash-LSH corpus dedup + audit)
+        └─> chunks (extract/chunk/embed)          [stage: chunks,  bucketed]
         └─> triples (OpenIE)                      [stage: triples, bucketed]
               └─> mentions ─> LSH pairs ─> links ─> components
                     └─> nodes (canonical map)     [stage: nodes,   global]
@@ -89,8 +92,22 @@ def run(
     use_text_column: bool = False,
     fail_after_stage: str | None = None,
     salt: int = 8,
+    dedup: bool = False,
+    dedup_opts: dict | None = None,
 ) -> dict:
-    """Execute (or resume) the full pipeline; returns stage metrics."""
+    """Execute (or resume) the full pipeline; returns stage metrics.
+
+    ``dedup=True`` inserts a corpus-level near-duplicate dedup stage
+    between extract and chunk — the step a training-data pipeline runs
+    before it embeds/extracts anything: ``minhash_lsh_pairs_sql`` over
+    the extracted text, ``dedup_resolution`` (transitive closure +
+    deterministic min-url keeper election), then an anti-join that drops
+    the non-keepers.  Keepers land in ``extracted_dedup`` (bucketed like
+    ``extracted``, so chunks/triples keep their aligned 1:1 writes); the
+    full cluster assignment for every clustered doc is kept as the
+    ``dedup_audit`` table (the non-keeper frame IS the audit trail).
+    ``dedup_opts`` passes through to ``minhash_lsh_pairs_sql``
+    (num_perm/bands/shingle_k/max_bucket_size)."""
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     aliases_path = os.path.join(corpus_dir, "aliases.parquet")
     aliases = None
@@ -131,6 +148,57 @@ def run(
     _mark("extract")
     if fail_after_stage == "extract":
         raise StageKill("injected failure after stage: extract")
+
+    # ---- stage 0.5 (optional): corpus-level near-dup dedup (global) ---------
+    # Global like the nodes stage: LSH candidate pairs span url buckets, so
+    # bucket-level resume can't apply; the whole stage is deterministic
+    # (seeded minhash params, CC, min-id keeper), so a killed run re-derives
+    # byte-identical tables under dynamic partition overwrite.  The keeper
+    # filter is a left_anti equi-join against the (smaller) non-keeper set —
+    # broadcast at dictionary scale, SMJ beyond the threshold; the rewrite
+    # re-clusters by bucket so every downstream stage keeps the aligned
+    # shuffle-free write path.
+    if dedup:
+        dedup_path = os.path.join(out_dir, "extracted_dedup")
+        audit_path = os.path.join(out_dir, "dedup_audit")
+        if not ln.stage_marker_done(spark, out_dir, run_id, "dedup"):
+            from ..operators.dedup import dedup_resolution, minhash_lsh_pairs_sql
+
+            docs = extracted.select(F.col("url").alias("doc_id"), "text")
+            pairs = minhash_lsh_pairs_sql(docs, **(dedup_opts or {}))
+            resolution = dedup_resolution(
+                docs.select("doc_id"), pairs
+            ).cache()  # audit write probes isEmpty then writes: one lineage
+            clusters = resolution.filter(F.col("cluster_size") > 1).withColumn(
+                "bucket", ln.bucket_col("doc_id", n_buckets)
+            )
+            _write_bucketed(clusters, audit_path)
+            resolution.unpersist()
+            # non-keepers come from the durable audit table, not the live
+            # lineage — the pairs/CC work is never recomputed past here
+            non_keepers = (
+                spark.read.parquet(audit_path)
+                .filter(~F.col("is_keeper"))
+                .select(F.col("doc_id").alias("url"))
+            )
+            deduped = extracted.join(non_keepers, "url", "left_anti")
+            _write_bucketed(deduped, dedup_path)
+            n_kept, n_dropped = (
+                spark.read.parquet(dedup_path).count(),
+                spark.read.parquet(audit_path).filter(~F.col("is_keeper")).count(),
+            )
+            # dropped first: the 'dedup' row is the stage-done marker and
+            # must be the LAST commit (same ordering rule as nodes)
+            ln.commit_global_stage(spark, out_dir, run_id, "dedup_dropped", n_dropped)
+            ln.commit_global_stage(spark, out_dir, run_id, "dedup", n_kept)
+        extracted = spark.read.parquet(dedup_path)
+        metrics["dedup_kept"] = ln.committed_row_count(spark, out_dir, run_id, "dedup")
+        metrics["dedup_dropped"] = ln.committed_row_count(
+            spark, out_dir, run_id, "dedup_dropped"
+        )
+        _mark("dedup")
+        if fail_after_stage == "dedup":
+            raise StageKill("injected failure after stage: dedup")
 
     # ---- stage 1: chunks (bucketed, resumable) -----------------------------
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "chunks", n_buckets)

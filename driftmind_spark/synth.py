@@ -143,9 +143,22 @@ def _render_html(
     )
 
 
+def _is_planted_clone(page_idx: int, seed: int, dup_rate: float) -> bool:
+    """Deterministic per-index clone selection (independent RNG stream so
+    the normal-content draws are untouched when dup_rate == 0)."""
+    if dup_rate <= 0.0 or page_idx < _DUP_FLOOR:
+        return False
+    drng = random.Random(((seed + 1) << 33) ^ (page_idx * 0x9E3779B97F4A7C15))
+    return drng.random() < dup_rate
+
+
+_DUP_FLOOR = 24  # indices below this are never clones (and never sources of
+                 # clones that are themselves clones — the walk terminates)
+
+
 def generate_page(page_idx: int, seed: int = 42,
                   min_sent: int = 2, max_sent: int = 8,
-                  mixed_formats: bool = False) -> dict:
+                  mixed_formats: bool = False, dup_rate: float = 0.0) -> dict:
     """Generate one page + its expected triples, deterministically.
 
     ``mixed_formats=True`` makes a deterministic share of the corpus real
@@ -154,7 +167,49 @@ def generate_page(page_idx: int, seed: int = 42,
     an occasional image-only PDF exercising the metadata fallback), ~10%
     DOCX bytes (incl. tables and the " | " row rule), ~10% plain .txt.
     The ``text`` column stays the byte-exact expected extraction, so the
-    parity contract becomes ``extract_any(url, payload) == text``."""
+    parity contract becomes ``extract_any(url, payload) == text``.
+
+    ``dup_rate`` (opt-in, default 0 keeps every existing corpus
+    byte-identical) plants NEAR-DUPLICATE pages: a selected index
+    republishes an earlier HTML page's main text under a new url — half
+    verbatim, half with one appended filler paragraph (high-Jaccard
+    near-dup) — wrapped in fresh boilerplate.  Selection and source
+    choice are pure functions of (seed, page_idx), so distributed
+    generation stays embarrassingly parallel; clone sources are always
+    non-clone HTML indices, so every planted pair exists in the corpus."""
+    if _is_planted_clone(page_idx, seed, dup_rate):
+        drng = random.Random(((seed + 2) << 33) ^ (page_idx * 0xC2B2AE3D27D4EB4F))
+        src_idx = drng.randrange(_DUP_FLOOR, page_idx)
+        # walk down to a non-clone HTML source (terminates: the floor
+        # region never clones, and with mixed_formats 7 of 10 residues
+        # are HTML)
+        while (_is_planted_clone(src_idx, seed, dup_rate)
+               or (mixed_formats and src_idx % 10 in (3, 7, 9))
+               or src_idx < len(EDGE_TEXTS)):
+            src_idx -= 1
+            if src_idx < len(EDGE_TEXTS):
+                src_idx = len(EDGE_TEXTS)
+                while mixed_formats and src_idx % 10 in (3, 7, 9):
+                    src_idx += 1
+                break
+        src = generate_page(src_idx, seed, min_sent, max_sent,
+                            mixed_formats, dup_rate=0.0)
+        lang = src["lang"]
+        paras = src["text"].split("\n\n") if src["text"] else []
+        if drng.random() < 0.5 and paras:
+            paras = paras + [drng.choice(FILLER_SENTENCES[lang])]
+        text = "\n\n".join(paras)
+        url = f"https://host-{page_idx % 997}.example/{lang}/doc-{page_idx}.html"
+        payload = _render_html(drng, url, lang, paras, page_idx).encode("utf-8")
+        warc_ts = _BASE_TS + _dt.timedelta(seconds=137 * page_idx)
+        return {
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": payload,
+            "text": text,
+            "lang": lang,
+            "triples": src["triples"],
+        }
     rng = random.Random((seed << 32) ^ page_idx)
     lang = "de" if rng.random() < 0.2 else "en"
     fmt = "html"
@@ -257,7 +312,7 @@ TRIPLES_SCHEMA = pa.schema(
 def generate_pages(
     n: int, seed: int = 42, start: int = 0,
     min_sent: int = 2, max_sent: int = 8,
-    mixed_formats: bool = False,
+    mixed_formats: bool = False, dup_rate: float = 0.0,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate ``n`` pages -> (pages table, expected_triples table).
 
@@ -269,7 +324,8 @@ def generate_pages(
     tcols: dict[str, list] = {k: [] for k in ("url", "subj", "pred", "obj",
                                               "subj_canon", "obj_canon")}
     for i in range(start, start + n):
-        page = generate_page(i, seed, min_sent, max_sent, mixed_formats)
+        page = generate_page(i, seed, min_sent, max_sent, mixed_formats,
+                             dup_rate=dup_rate)
         for k in cols:
             cols[k].append(page[k])
         for (subj, pred, obj, sc, oc) in page["triples"]:
@@ -287,7 +343,8 @@ def generate_pages(
 def write_corpus(out_dir: str, n: int, seed: int = 42,
                  batch_size: int = 100_000,
                  min_sent: int = 2, max_sent: int = 8,
-                 mixed_formats: bool = False) -> None:
+                 mixed_formats: bool = False,
+                 dup_rate: float = 0.0) -> None:
     """Write ``pages.parquet``, ``expected_triples.parquet`` and
     ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
     scan)."""
@@ -300,7 +357,8 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
         cnt = min(batch_size, n - start)
         pages, triples = generate_pages(cnt, seed=seed, start=start,
                                         min_sent=min_sent, max_sent=max_sent,
-                                        mixed_formats=mixed_formats)
+                                        mixed_formats=mixed_formats,
+                                        dup_rate=dup_rate)
         pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
         triples_writer.write_table(triples)
     pages_writer.close()
@@ -322,6 +380,8 @@ if __name__ == "__main__":
     ap.add_argument("out_dir")
     ap.add_argument("-n", type=int, default=10_000)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--dup-rate", type=float, default=0.0,
+                    help="fraction of pages planted as near-duplicate clones")
     args = ap.parse_args()
-    write_corpus(args.out_dir, args.n, args.seed)
+    write_corpus(args.out_dir, args.n, args.seed, dup_rate=args.dup_rate)
     print(f"wrote {args.n} pages to {args.out_dir}")

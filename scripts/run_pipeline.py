@@ -7,7 +7,7 @@ Usage::
     python scripts/make_pyfiles_zip.py /tmp/driftmind_spark.zip
     spark-submit --master local[32] \
         --py-files /tmp/driftmind_spark.zip \
-        scripts/run_pipeline.py <corpus_dir> <out_dir> [run_id]
+        scripts/run_pipeline.py <corpus_dir> <out_dir> [run_id] [--dedup]
 
 On a cluster, the same command with ``--master yarn``/``k8s`` and the
 executor sizing of your fleet; every config the pipeline relies on
@@ -22,9 +22,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
-    corpus_dir = sys.argv[1]
-    out_dir = sys.argv[2]
-    run_id = sys.argv[3] if len(sys.argv) > 3 else "run-1"
+    args = [a for a in sys.argv[1:] if a != "--dedup"]
+    dedup = "--dedup" in sys.argv[1:]
+    corpus_dir = args[0]
+    out_dir = args[1]
+    run_id = args[2] if len(args) > 2 else "run-1"
 
     # spark-submit owns the session; apply our confs onto the builder
     spark = (
@@ -48,7 +50,7 @@ def main() -> None:
         )
     from driftmind_spark.kg.pipeline import run
 
-    metrics = run(spark, corpus_dir, out_dir, run_id=run_id)
+    metrics = run(spark, corpus_dir, out_dir, run_id=run_id, dedup=dedup)
     print(json.dumps(metrics))
     spark.stop()
 

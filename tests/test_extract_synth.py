@@ -127,6 +127,30 @@ def test_synth_edge_pages_present():
         assert generate_page(i)["text"] == expected_text
 
 
+def test_synth_planted_near_dups():
+    """dup_rate (round 5): clones are deterministic, pure per-index,
+    byte-parity-preserving, and each clone's text is a verbatim copy or
+    a one-paragraph extension of a NON-clone page in the same corpus."""
+    from driftmind_spark.synth import _is_planted_clone
+
+    pages, _ = generate_pages(300, dup_rate=0.15)
+    texts = pages.column("text").to_pylist()
+    clones = [i for i in range(300) if _is_planted_clone(i, 42, 0.15)]
+    assert 20 <= len(clones) <= 70  # ~15%
+    base = {texts[i] for i in range(300) if i not in set(clones)}
+    for i in clones:
+        assert texts[i] in base or any(
+            b and texts[i].startswith(b + "\n\n") for b in base
+        ), f"clone {i} has no source in corpus"
+        # per-index purity: standalone regeneration is identical
+        assert generate_page(i, dup_rate=0.15)["text"] == texts[i]
+        # byte parity holds for clone html too
+        html = pages.column("html")[i].as_py()
+        assert ex.extract_main_text(html.decode("utf-8")) == texts[i]
+    # default corpus is byte-identical with the flag absent vs 0.0
+    assert generate_pages(40)[0].equals(generate_pages(40, dup_rate=0.0)[0])
+
+
 def test_kernel_pr_gate():
     """North-rule P/R >= 0.95 for the single-node reference-semantics
     extractor against the planted ground truth."""

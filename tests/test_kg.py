@@ -285,6 +285,118 @@ def test_resume_skips_completed_buckets(spark, pages_dir, tmp_path_factory):
     assert dupes == 0
 
 
+# ---- corpus-level near-dup dedup stage (round 5) ---------------------------
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """400 pages with ~15% planted near-duplicate clones (half verbatim,
+    half one-appended-paragraph)."""
+    from driftmind_spark.synth import write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("dup_corpus"))
+    write_corpus(corpus, n=400, dup_rate=0.15)
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def dedup_pipeline_out(spark, dup_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_dedup_out"))
+    metrics = run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8,
+                  dedup=True)
+    return out, metrics
+
+
+def test_dedup_stage_collapses_duplicates(spark, dup_corpus, dedup_pipeline_out):
+    out, m = dedup_pipeline_out
+    assert m["dedup_dropped"] > 0
+    assert m["dedup_kept"] + m["dedup_dropped"] == m["extracted"]
+    assert m["dedup_kept"] == spark.read.parquet(f"{out}/extracted_dedup").count()
+
+    # verbatim clones have identical MinHash signatures, so exact-dup
+    # recall is structural: the deduped corpus contains no two docs with
+    # the same non-empty text
+    ded = spark.read.parquet(f"{out}/extracted_dedup")
+    assert (
+        ded.filter(F.length("text") > 0)
+        .groupBy("text").count().filter(F.col("count") > 1).count()
+    ) == 0
+
+    # keeper election is the cluster's minimum doc id (deterministic)
+    audit = spark.read.parquet(f"{out}/dedup_audit")
+    per_cluster = audit.groupBy("keeper_id").agg(F.min("doc_id").alias("lo"))
+    assert per_cluster.filter(F.col("keeper_id") != F.col("lo")).count() == 0
+    # the audit table holds whole clusters: keeper row + non-keepers
+    assert audit.filter(F.col("is_keeper")).count() > 0
+    assert audit.filter(~F.col("is_keeper")).count() == m["dedup_dropped"]
+
+
+def test_dedup_stage_downstream_consumes_keepers(spark, dedup_pipeline_out):
+    """chunks/triples must be built from the deduped corpus only, and the
+    aligned shuffle-free write must survive the extra stage."""
+    import glob
+
+    out, m = dedup_pipeline_out
+    chunk_urls = spark.read.parquet(f"{out}/chunks").select("url").distinct()
+    keepers = spark.read.parquet(f"{out}/extracted_dedup").select("url")
+    assert chunk_urls.join(keepers, "url", "left_anti").count() == 0
+    dropped = (
+        spark.read.parquet(f"{out}/dedup_audit")
+        .filter(~F.col("is_keeper"))
+        .select(F.col("doc_id").alias("url"))
+    )
+    assert chunk_urls.join(dropped, "url", "left_semi").count() == 0
+    for table in ("chunks", "triples"):
+        files = glob.glob(f"{out}/{table}/bucket=*/*.parquet")
+        buckets = glob.glob(f"{out}/{table}/bucket=*")
+        assert buckets and len(files) <= 4 * len(buckets)
+
+
+def test_dedup_kill_and_resume_identical(spark, dup_corpus, tmp_path_factory):
+    """Kill right after the dedup stage commit; the resumed run must
+    produce tables identical to an independent full dedup run — including
+    the dedup tables themselves (deterministic pairs + CC + keeper)."""
+    out_killed = str(tmp_path_factory.mktemp("kg_dedup_resume"))
+    out_full = str(tmp_path_factory.mktemp("kg_dedup_full"))
+
+    with pytest.raises(StageKill):
+        run(spark, dup_corpus, out_killed, embedding_dim=32, n_buckets=8,
+            dedup=True, fail_after_stage="dedup")
+    lin = spark.read.parquet(f"{out_killed}/lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"extract", "dedup", "dedup_dropped"}
+    assert not os.path.exists(f"{out_killed}/chunks")
+
+    run(spark, dup_corpus, out_killed, embedding_dim=32, n_buckets=8, dedup=True)
+    run(spark, dup_corpus, out_full, embedding_dim=32, n_buckets=8, dedup=True)
+
+    for table, cols in [
+        ("extracted_dedup", ["url", "text"]),
+        ("dedup_audit", ["doc_id", "keeper_id", "is_keeper", "cluster_size"]),
+        ("triples", ["url", "subj", "pred", "obj"]),
+        ("nodes", ["surface", "canonical_surface"]),
+        ("edges", ["url", "subj_canonical", "pred", "obj_canonical"]),
+        ("chunks", ["url", "chunk_index", "content"]),
+    ]:
+        fp_resumed = _table_fingerprint(spark, f"{out_killed}/{table}", cols)
+        fp_full = _table_fingerprint(spark, f"{out_full}/{table}", cols)
+        assert fp_resumed == fp_full, f"{table} differs after resume"
+
+
+def test_dedup_noop_on_clean_corpus(spark, tmp_path_factory):
+    """dedup=True over a corpus with no duplicate content must keep every
+    page and write an empty (but readable) audit table."""
+    from driftmind_spark.synth import write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("clean_corpus"))
+    # edge pages only: unique texts, incl. the empty page
+    write_corpus(corpus, n=8)
+    out = str(tmp_path_factory.mktemp("clean_out"))
+    m = run(spark, corpus, out, embedding_dim=32, n_buckets=4, dedup=True)
+    assert m["dedup_dropped"] == 0 and m["dedup_kept"] == 8
+    audit = spark.read.parquet(f"{out}/dedup_audit")
+    assert audit.count() == 0 and "is_keeper" in audit.columns
+
+
 def test_aligned_write_no_file_fanout(pipeline_out):
     """pre_clustered write (r3): the chunks/triples stages inherit the
     extracted table's bucket clustering, so skipping the repartition
