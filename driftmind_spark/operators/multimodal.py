@@ -356,68 +356,30 @@ def decode_wav_samples(data: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png_pixels(data: bytes):
-    """REAL PNG pixel decode with nothing but stdlib ``zlib`` + numpy
-    (round 4 — shrinks the last multimodal stub to non-PNG formats):
-    chunk walk -> IDAT inflate -> per-scanline unfilter (all five PNG
-    filter types: None/Sub/Up/Average/Paeth) -> palette expansion.
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports the dominant web profile: 8-bit channels, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  Adam7 interlace and 1/2/4/16-bit depths raise
-    ``NotImplementedError`` (the honest remaining seam).  Returns a
-    ``uint8`` array of shape (height, width, channels) — palette images
-    come back expanded to RGB.
 
-    Filters Sub/Up are vectorized (per-channel-lane cumsum mod 256 is
-    exact because byte addition is associative); Average/Paeth carry a
-    true sequential left-dependency, so they run a per-pixel loop
-    vectorized across channel lanes."""
-    import zlib
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
+    """Reverse the five PNG scanline filters over one (sub-)image whose
+    scanlines are ``w`` pixels of ``bpp`` BYTES each (the spec defines
+    filtering on bytes-per-pixel, so 16-bit images reuse this with
+    doubled ``bpp``).  Returns a (h, w*bpp) uint8 array.
 
+    Filters Sub/Up are vectorized (per-byte-lane cumsum mod 256 is exact
+    because byte addition is associative); Average/Paeth carry a true
+    sequential left-dependency, so they run a per-pixel loop vectorized
+    across byte lanes."""
     import numpy as np
 
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG stream")
-    pos, n = 8, len(data)
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    while pos + 8 <= n:
-        length = struct.unpack(">I", data[pos:pos + 4])[0]
-        ctype = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"PLTE":
-            plte = body
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + crc32
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise ValueError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlace not supported")
-    if depth != 8:
-        raise NotImplementedError(f"bit depth {depth} not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None:
-        raise ValueError(f"bad color type {color}")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # surface as the callers' undecodable case
-        raise ValueError(f"corrupt IDAT stream: {e}") from e
-    stride = w * channels
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("decompressed size does not match dimensions")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     zero_row = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         f = int(arr[y, 0])
@@ -460,12 +422,95 @@ def decode_png_pixels(data: bytes):
         else:
             raise ValueError(f"bad scanline filter {f}")
         out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode with nothing but stdlib ``zlib`` + numpy:
+    chunk walk -> IDAT inflate -> per-scanline unfilter (all five PNG
+    filter types: None/Sub/Up/Average/Paeth) -> palette expansion.
+
+    Supports the dominant web profile plus (round 5) Adam7 interlace and
+    16-bit depths: color types 0 (gray), 2 (RGB), 3 (palette, 8-bit),
+    4 (gray+alpha), 6 (RGBA); depths 8 and 16 (16-bit samples are
+    big-endian and downsample to their high byte, the standard 16->8
+    conversion); interlace methods 0 and 1 (each Adam7 pass is an
+    independently filtered sub-image scattered into the full frame via
+    strided assignment).  1/2/4-bit depths raise ``NotImplementedError``
+    (the honest remaining seam).  Returns a ``uint8`` array of shape
+    (height, width, channels) — palette images come back expanded to
+    RGB."""
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(data)
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length = struct.unpack(">I", data[pos:pos + 4])[0]
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc32
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"bit depth {depth} not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad color type {color}")
+    if color == 3 and depth != 8:
+        raise ValueError("palette images must be 1/2/4/8-bit, not 16")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # surface as the callers' undecodable case
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps
+
+    def _to_samples(bytes2d, ph, pw):
+        # (ph, pw*bpp) filtered bytes -> (ph, pw, channels) uint8; for
+        # 16-bit take the big-endian high byte (== value >> 8)
+        return bytes2d.reshape(ph, pw, channels, bps)[..., 0]
+
+    if interlace == 0:
+        px = _to_samples(_png_unfilter(raw, h, w, bpp), h, w)
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass has no scanlines at all
+            need = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[off:off + need], ph, pw, bpp)
+            off += need
+            px[y0::dy, x0::dx] = _to_samples(sub, ph, pw)
+        if off != len(raw):
+            raise ValueError("decompressed size does not match dimensions")
     if color == 3:
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        return pal[out.reshape(h, w)]
-    return out.reshape(h, w, channels)
+        return pal[px.reshape(h, w)]
+    return px
 
 
 def _gif_lzw_decode(stream: bytes, min_code: int, expected: int) -> bytearray:

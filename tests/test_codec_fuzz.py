@@ -57,8 +57,11 @@ def _valid_blobs():
     idx = rng.randint(0, 4, size=(6, 6)).astype(np.uint8)
     pal = list(rng.randint(0, 256, size=12))
     jpeg = _encode_jpeg(img)
+    img16 = rng.randint(0, 65536, size=(9, 7, 3)).astype(np.uint16)
     return {
         "png": _encode_png(img, filters=[0, 1, 2, 3, 4]),
+        "png_i7": _encode_png(img, filters=[4, 3, 2, 1, 0], interlace=True),
+        "png_16": _encode_png(img16, filters=[0, 2, 4], depth=16),
         "gif": _encode_gif(idx, pal),
         "jpeg": jpeg,
         "wav": _encode_wav(_tone_mix(1, n=2000), 8000),
@@ -69,6 +72,8 @@ def _valid_blobs():
 _BLOBS = _valid_blobs()
 _BY_FMT = {
     "png": decode_png_pixels,
+    "png_i7": decode_png_pixels,
+    "png_16": decode_png_pixels,
     "gif": decode_gif_pixels,
     "jpeg": decode_jpeg_pixels,
     "wav": decode_wav_samples,

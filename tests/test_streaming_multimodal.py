@@ -306,29 +306,21 @@ def test_stream_sink_retry_is_idempotent(spark, stream_corpus, tmp_path_factory)
 
 # ---- round 4: real PNG pixel decode (stdlib zlib) -------------------------
 
-def _encode_png(pixels, filters, color_type=2, palette=None):
-    """Tiny independent PNG encoder for the test: filters each scanline
-    with the REQUESTED filter type (inverse of the decoder's equations,
-    using raw neighbor bytes per the PNG spec), deflates, and wraps in
-    chunks.  Lets the test pin every filter path of decode_png_pixels
-    against known pixel values."""
-    import struct as st
-    import zlib
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _filter_scanlines(flat, bpp, filters):
+    """Filter a (h, w*bpp) BYTE matrix with the requested per-row filter
+    types (inverse of the decoder's equations, raw neighbor bytes per
+    the PNG spec)."""
     import numpy as np
 
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if color_type == 3:
-        h, w = arr.shape
-        bpp = 1
-        flat = arr.reshape(h, w)
-    else:
-        h, w, c = arr.shape
-        bpp = c
-        flat = arr.reshape(h, w * c)
     raw = bytearray()
     prev = np.zeros(flat.shape[1], dtype=np.int32)
-    for y in range(h):
+    for y in range(flat.shape[0]):
         f = filters[y % len(filters)]
         cur = flat[y].astype(np.int32)
         left = np.roll(cur, bpp)
@@ -352,12 +344,58 @@ def _encode_png(pixels, filters, color_type=2, palette=None):
         raw.append(f)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def _encode_png(pixels, filters, color_type=2, palette=None,
+                interlace=False, depth=8):
+    """Tiny independent PNG encoder for the test: filters each scanline
+    with the REQUESTED filter type, deflates, and wraps in chunks.  Lets
+    the test pin every filter path of decode_png_pixels against known
+    pixel values.  ``interlace=True`` writes Adam7 passes (each pass an
+    independently filtered sub-image); ``depth=16`` takes uint16 pixels
+    and writes big-endian sample pairs."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    if depth == 16:
+        arr = np.asarray(pixels, dtype=np.uint16)
+        h, w, c = arr.shape
+        bpp = c * 2
+        flat = np.zeros((h, w * c * 2), dtype=np.uint8)
+        flat[:, 0::2] = (arr.reshape(h, w * c) >> 8).astype(np.uint8)
+        flat[:, 1::2] = (arr.reshape(h, w * c) & 0xFF).astype(np.uint8)
+    elif color_type == 3:
+        arr = np.asarray(pixels, dtype=np.uint8)
+        h, w = arr.shape
+        bpp = 1
+        flat = arr.reshape(h, w)
+    else:
+        arr = np.asarray(pixels, dtype=np.uint8)
+        h, w, c = arr.shape
+        bpp = c
+        flat = arr.reshape(h, w * c)
+
+    if interlace:
+        raw = bytearray()
+        fl3 = flat.reshape(h, w, bpp)
+        for x0, y0, dx, dy in _ADAM7:
+            sub = fl3[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            raw += _filter_scanlines(sub.reshape(ph, pw * bpp), bpp, filters)
+    else:
+        raw = _filter_scanlines(flat, bpp, filters)
 
     def chunk(ctype, body):
         return (st.pack(">I", len(body)) + ctype + body
                 + st.pack(">I", zlib.crc32(ctype + body)))
 
-    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = st.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                   1 if interlace else 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette))
@@ -400,7 +438,49 @@ def test_png_pixel_decode_palette_and_rgba():
     assert np.array_equal(got4, rgba)
 
 
-def test_png_interlace_and_depth_raise():
+def test_png_adam7_interlaced_decode():
+    """Round 5 (was a NotImplementedError seam): Adam7 passes are
+    independently filtered sub-images scattered by stride — pin against
+    the independent interlacing encoder, across sizes that exercise
+    empty and single-pixel passes."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(17)
+    for h, w, ct, c in [(16, 16, 2, 3), (10, 7, 2, 3), (9, 13, 6, 4),
+                        (3, 3, 0, 1), (1, 1, 2, 3), (2, 9, 4, 2)]:
+        shape = (h, w, c)
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4], color_type=ct,
+                          interlace=True)
+        got = decode_png_pixels(png)
+        assert np.array_equal(got, img), f"interlaced {h}x{w} ct={ct}"
+
+
+def test_png_16bit_decode():
+    """16-bit samples are big-endian pairs filtered at bpp = 2*channels;
+    decode downsamples to the high byte (standard 16->8)."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(23)
+    img16 = rng.randint(0, 65536, size=(9, 6, 3), dtype=np.uint16)
+    png = _encode_png(img16, filters=[0, 1, 2, 3, 4], depth=16)
+    got = decode_png_pixels(png)
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+    # 16-bit AND interlaced together
+    img16b = rng.randint(0, 65536, size=(11, 5, 4), dtype=np.uint16)
+    png_i = _encode_png(img16b, filters=[4, 3, 2, 1, 0], color_type=6,
+                        depth=16, interlace=True)
+    assert np.array_equal(
+        decode_png_pixels(png_i), (img16b >> 8).astype(np.uint8)
+    )
+
+
+def test_png_subbyte_depth_still_raises():
     import struct as st
     import zlib
 
@@ -412,13 +492,8 @@ def test_png_interlace_and_depth_raise():
         return (st.pack(">I", len(body)) + ctype + body
                 + st.pack(">I", zlib.crc32(ctype + body)))
 
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
-                  + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
-    with _pytest.raises(NotImplementedError, match="interlace"):
-        decode_png_pixels(interlaced)
     deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
     with _pytest.raises(NotImplementedError, match="depth"):
         decode_png_pixels(deep)
