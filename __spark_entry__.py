@@ -391,7 +391,14 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dd.minhash_lsh_pairs_sql(_t(spark, sf_dir, "documents"))
+    """MinHash-LSH candidate pairs WITH signature-agreement verification
+    columns (round 5): every candidate keeps its slot-agreement count
+    and a verified flag — the arithmetic the corpus-dedup pipeline
+    stage's pair filter runs, mirrored exactly in the DuckDB oracle."""
+    return dd.minhash_lsh_verified_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_perm=16, bands=4, min_agreement=0.75, keep_all=True,
+    )
 
 
 def q_truncate(spark, sf_dir):
@@ -1015,6 +1022,9 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(4)
     )
+    minhash_agree = " + ".join(
+        f"(a.s{i} = b.s{i})::int" for i in range(16)
+    )
 
     return {
         "filter_project": """
@@ -1369,11 +1379,21 @@ def oracle_sql() -> dict[str, str]:
                         (partition by band_idx, band_hash) as bs
                     from melted
                 ) where bs <= 256
+            ),
+            cand as (
+                select distinct a.doc_id as doc_a, b.doc_id as doc_b
+                from capped a join capped b
+                  on a.band_idx = b.band_idx and a.band_hash = b.band_hash
+                 and a.doc_id < b.doc_id
             )
-            select distinct a.doc_id as doc_a, b.doc_id as doc_b
-            from capped a join capped b
-              on a.band_idx = b.band_idx and a.band_hash = b.band_hash
-             and a.doc_id < b.doc_id
+            -- signature-agreement verification mirror
+            -- (minhash_lsh_verified_pairs, min_agreement=0.75 of 16 -> 12)
+            select p.doc_a, p.doc_b,
+                   cast({minhash_agree} as integer) as agreement,
+                   ({minhash_agree}) >= 12 as verified
+            from cand p
+            join sig a on p.doc_a = a.doc_id
+            join sig b on p.doc_b = b.doc_id
         """,
         "truncate": f"""
             select doc_id, {_truncate_sql('text')} as sample

@@ -452,9 +452,19 @@ def main() -> None:
         scaling = _run_scaling(SCALING_DOCS)
         ex = _run_executor_scaling(SCALING_DOCS)
         detail = {"scaling": scaling, "executor_scaling": ex}
+        # Default detail sink is OUTSIDE the repo: the committed
+        # BENCH/last_run_detail.json is a curated artifact, and end-of-round
+        # driver runs kept dirtying it (recurring verdict nit).  Set
+        # SPARK_GRAFT_BENCH_DETAIL=BENCH/last_run_detail.json to refresh
+        # the committed copy deliberately.
+        detail_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            "/tmp/driftmind_bench_last_run_detail.json",
+        )
+        if not os.path.isabs(detail_path):
+            detail_path = os.path.join(REPO, detail_path)
         try:
-            with open(os.path.join(REPO, "BENCH", "last_run_detail.json"),
-                      "w") as f:
+            with open(detail_path, "w") as f:
                 json.dump(detail, f, indent=1)
         except OSError:
             pass
@@ -481,7 +491,7 @@ def main() -> None:
                 r["control_efficiency"] for r in ex["rounds"]],
             "efficiency_rounds": ex["efficiency_rounds"],
             "normalized_efficiency": ex["normalized_efficiency"],
-            "detail": "BENCH/last_run_detail.json",
+            "detail": detail_path,
         }
         result["kg_docs_per_sec"] = scaling["local[32]"]["docs_per_sec"]
         result["scaling_efficiency_executors_median"] = ex[

@@ -99,15 +99,16 @@ def run(
 
     ``dedup=True`` inserts a corpus-level near-duplicate dedup stage
     between extract and chunk — the step a training-data pipeline runs
-    before it embeds/extracts anything: ``minhash_lsh_pairs_sql`` over
-    the extracted text, ``dedup_resolution`` (transitive closure +
-    deterministic min-url keeper election), then an anti-join that drops
-    the non-keepers.  Keepers land in ``extracted_dedup`` (bucketed like
+    before it embeds/extracts anything: ``operators.dedup.corpus_dedup``
+    (exact md5 grouping first, MinHash-LSH with signature-agreement
+    VERIFICATION on unique texts only, transitive closure, deterministic
+    min-url keeper election), then an anti-join that drops the
+    non-keepers.  Keepers land in ``extracted_dedup`` (bucketed like
     ``extracted``, so chunks/triples keep their aligned 1:1 writes); the
     full cluster assignment for every clustered doc is kept as the
     ``dedup_audit`` table (the non-keeper frame IS the audit trail).
-    ``dedup_opts`` passes through to ``minhash_lsh_pairs_sql``
-    (num_perm/bands/shingle_k/max_bucket_size)."""
+    ``dedup_opts`` passes through to ``corpus_dedup``
+    (num_perm/bands/shingle_k/max_bucket_size/min_agreement)."""
     pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
     aliases_path = os.path.join(corpus_dir, "aliases.parquet")
     aliases = None
@@ -162,12 +163,11 @@ def run(
         dedup_path = os.path.join(out_dir, "extracted_dedup")
         audit_path = os.path.join(out_dir, "dedup_audit")
         if not ln.stage_marker_done(spark, out_dir, run_id, "dedup"):
-            from ..operators.dedup import dedup_resolution, minhash_lsh_pairs_sql
+            from ..operators.dedup import corpus_dedup
 
             docs = extracted.select(F.col("url").alias("doc_id"), "text")
-            pairs = minhash_lsh_pairs_sql(docs, **(dedup_opts or {}))
-            resolution = dedup_resolution(
-                docs.select("doc_id"), pairs
+            resolution = corpus_dedup(
+                docs, **(dedup_opts or {})
             ).cache()  # audit write probes isEmpty then writes: one lineage
             clusters = resolution.filter(F.col("cluster_size") > 1).withColumn(
                 "bucket", ln.bucket_col("doc_id", n_buckets)

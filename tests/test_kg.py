@@ -307,9 +307,27 @@ def dedup_pipeline_out(spark, dup_corpus, tmp_path_factory):
 
 
 def test_dedup_stage_collapses_duplicates(spark, dup_corpus, dedup_pipeline_out):
+    from driftmind_spark.synth import _is_planted_clone
+
     out, m = dedup_pipeline_out
     assert m["dedup_dropped"] > 0
     assert m["dedup_kept"] + m["dedup_dropped"] == m["extracted"]
+
+    # No over-merge (round-5 regression: unverified LSH candidates chained
+    # 87% of a boilerplate-heavy corpus into one cluster through CC).
+    # Planted clones are the only true duplicates here; signature-agreement
+    # verification must keep the drop count in their neighborhood, and
+    # verbatim clones (exact-md5 recall is structural) must ALL be caught.
+    n_planted = sum(_is_planted_clone(i, 42, 0.15) for i in range(400))
+    assert m["dedup_dropped"] <= n_planted + 5, (
+        f"over-merge: dropped {m['dedup_dropped']} vs {n_planted} planted"
+    )
+    ext = spark.read.parquet(f"{out}/extracted")
+    n_verbatim_extra = (
+        ext.groupBy("text").count().filter("count > 1")
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0))).collect()[0][0]
+    )
+    assert m["dedup_dropped"] >= n_verbatim_extra
     assert m["dedup_kept"] == spark.read.parquet(f"{out}/extracted_dedup").count()
 
     # verbatim clones have identical MinHash signatures, so exact-dup

@@ -563,6 +563,76 @@ def test_dedup_resolution_composes_with_minhash(spark):
     assert res.filter("cluster_size >= 4").count() >= 4
 
 
+def _sentences(rng, n, vocab):
+    return " ".join(
+        " ".join(rng.choice(vocab, size=8)) + "." for _ in range(n)
+    )
+
+
+def test_minhash_verified_pairs_rejects_boilerplate_siblings(spark):
+    """The round-5 over-merge regression: docs sharing half their
+    sentences (boilerplate siblings, J ~ 0.5) must NOT pair, while a
+    verbatim copy and a one-sentence edit of a 30-sentence doc must.
+    (Unverified 16/4 banding merged 87% of a 100k crawl corpus.)"""
+    rng = np.random.RandomState(41)
+    vocab = np.array(["alpha", "bravo", "charlie", "delta", "echo",
+                      "foxtrot", "golf", "hotel", "india", "juliet",
+                      "kilo", "lima", "mike", "november", "oscar"])
+    base = _sentences(rng, 30, vocab)
+    shared = _sentences(rng, 15, vocab)  # common boilerplate block
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                                     # verbatim
+            (2, base + " " + _sentences(rng, 1, vocab)),   # one appended sent
+            (3, shared + " " + _sentences(rng, 15, vocab)),  # sibling A
+            (4, shared + " " + _sentences(rng, 15, vocab)),  # sibling B
+            (5, _sentences(rng, 30, vocab)),               # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_verified_pairs(docs).collect()
+    }
+    assert (0, 1) in got, "verbatim pair missed"
+    assert (0, 2) in got and (1, 2) in got, "near pair missed"
+    assert not any(3 in p or 4 in p for p in got), (
+        f"boilerplate siblings falsely paired: {got}"
+    )
+    assert not any(5 in p for p in got)
+
+
+def test_corpus_dedup_exact_then_near(spark):
+    """corpus_dedup: exact copies collapse through the md5 group stage,
+    near-dups through verified LSH, and the final frame is doc-level
+    with global-min keepers and doc-level cluster sizes."""
+    rng = np.random.RandomState(43)
+    vocab = np.array(["papa", "quebec", "romeo", "sierra", "tango",
+                      "uniform", "victor", "whiskey", "xray", "yankee"])
+    base = _sentences(rng, 25, vocab)
+    near = base + " " + _sentences(rng, 1, vocab)
+    other = _sentences(rng, 25, vocab)
+    docs = spark.createDataFrame(
+        [("d1", base), ("d3", base), ("d5", base),      # exact x3
+         ("d2", near),                                   # near of the trio
+         ("d4", other), ("d0", other),                   # exact x2
+         ("d9", _sentences(rng, 25, vocab))],            # singleton
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dd.corpus_dedup(docs).collect()}
+    assert len(got) == 7
+    # {d1,d3,d5,d2} one cluster, keeper d1 (global min); sizes DOC-level
+    for d in ("d1", "d3", "d5", "d2"):
+        assert got[d]["keeper_id"] == "d1"
+        assert got[d]["cluster_size"] == 4
+    assert got["d1"]["is_keeper"] and not got["d2"]["is_keeper"]
+    # {d4,d0} keeper d0
+    assert got["d4"]["keeper_id"] == "d0" and got["d0"]["is_keeper"]
+    assert got["d0"]["cluster_size"] == 2
+    assert got["d9"]["is_keeper"] and got["d9"]["cluster_size"] == 1
+
+
 def test_dedup_resolution_string_ids(spark):
     """The documented composition with the perceptual pair families:
     STRING media ids must flow through the CC driver path (its label
