@@ -470,27 +470,52 @@ def decode_png_pixels(data: bytes):
         raise ValueError("nonstandard compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"bit depth {depth} not supported")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad color type {color}")
-    if color == 3 and depth != 8:
+    if depth < 8 and color not in (0, 3):
+        raise ValueError("sub-byte depths are gray/palette only")
+    if color == 3 and depth == 16:
         raise ValueError("palette images must be 1/2/4/8-bit, not 16")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # surface as the callers' undecodable case
         raise ValueError(f"corrupt IDAT stream: {e}") from e
-    bps = depth // 8  # bytes per sample
-    bpp = channels * bps
 
-    def _to_samples(bytes2d, ph, pw):
-        # (ph, pw*bpp) filtered bytes -> (ph, pw, channels) uint8; for
-        # 16-bit take the big-endian high byte (== value >> 8)
-        return bytes2d.reshape(ph, pw, channels, bps)[..., 0]
+    if depth >= 8:
+        bps = depth // 8  # bytes per sample
+        fbpp = channels * bps  # filter bytes-per-pixel
+
+        def _rowbytes(pw):
+            return pw * channels * bps
+
+        def _to_samples(bytes2d, ph, pw):
+            # (ph, rowbytes) filtered bytes -> (ph, pw, channels) uint8;
+            # for 16-bit take the big-endian high byte (== value >> 8)
+            return bytes2d.reshape(ph, pw, channels, bps)[..., 0]
+    else:
+        # Sub-byte depths (round 5 — the last PNG seam): samples are
+        # packed MSB-first; the spec filters on BYTES with bpp = 1.
+        # Unpack per (sub-)image after unfiltering, then scale gray
+        # levels to 8-bit (palette indices are used as-is).
+        fbpp = 1
+        scale = (255 // ((1 << depth) - 1)) if color == 0 else 1
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+
+        def _rowbytes(pw):
+            return -(-pw * depth // 8)
+
+        def _to_samples(bytes2d, ph, pw):
+            bits = np.unpackbits(
+                np.ascontiguousarray(bytes2d), axis=1
+            )[:, : pw * depth].reshape(ph, pw, depth)
+            vals = (bits * weights).sum(axis=2) * scale
+            return vals.astype(np.uint8)[..., None]
 
     if interlace == 0:
-        px = _to_samples(_png_unfilter(raw, h, w, bpp), h, w)
+        px = _to_samples(_png_unfilter(raw, h, _rowbytes(w) // fbpp, fbpp), h, w)
     else:
         px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
@@ -499,8 +524,10 @@ def decode_png_pixels(data: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass has no scanlines at all
-            need = ph * (pw * bpp + 1)
-            sub = _png_unfilter(raw[off:off + need], ph, pw, bpp)
+            need = ph * (_rowbytes(pw) + 1)
+            sub = _png_unfilter(
+                raw[off:off + need], ph, _rowbytes(pw) // fbpp, fbpp
+            )
             off += need
             px[y0::dy, x0::dx] = _to_samples(sub, ph, pw)
         if off != len(raw):

@@ -62,6 +62,9 @@ def _valid_blobs():
         "png": _encode_png(img, filters=[0, 1, 2, 3, 4]),
         "png_i7": _encode_png(img, filters=[4, 3, 2, 1, 0], interlace=True),
         "png_16": _encode_png(img16, filters=[0, 2, 4], depth=16),
+        "png_g2": _encode_png(
+            (img[:, :, 0] >> 6).astype(np.uint8), filters=[0, 1, 2, 3, 4],
+            color_type=0, depth=2),
         "gif": _encode_gif(idx, pal),
         "jpeg": jpeg,
         "wav": _encode_wav(_tone_mix(1, n=2000), 8000),
@@ -74,6 +77,7 @@ _BY_FMT = {
     "png": decode_png_pixels,
     "png_i7": decode_png_pixels,
     "png_16": decode_png_pixels,
+    "png_g2": decode_png_pixels,
     "gif": decode_gif_pixels,
     "jpeg": decode_jpeg_pixels,
     "wav": decode_wav_samples,

@@ -360,6 +360,7 @@ def _encode_png(pixels, filters, color_type=2, palette=None,
 
     import numpy as np
 
+    pack = None
     if depth == 16:
         arr = np.asarray(pixels, dtype=np.uint16)
         h, w, c = arr.shape
@@ -367,6 +368,19 @@ def _encode_png(pixels, filters, color_type=2, palette=None,
         flat = np.zeros((h, w * c * 2), dtype=np.uint8)
         flat[:, 0::2] = (arr.reshape(h, w * c) >> 8).astype(np.uint8)
         flat[:, 1::2] = (arr.reshape(h, w * c) & 0xFF).astype(np.uint8)
+    elif depth < 8:
+        # sub-byte gray/palette: pack samples MSB-first per scanline
+        arr = np.asarray(pixels, dtype=np.uint8)
+        h, w = arr.shape
+        bpp = 1
+
+        def pack(p2d):
+            ph, pw = p2d.shape
+            bits = ((p2d[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1)
+            return np.packbits(bits.reshape(ph, pw * depth).astype(np.uint8),
+                               axis=1)
+
+        flat = pack(arr)
     elif color_type == 3:
         arr = np.asarray(pixels, dtype=np.uint8)
         h, w = arr.shape
@@ -380,13 +394,20 @@ def _encode_png(pixels, filters, color_type=2, palette=None,
 
     if interlace:
         raw = bytearray()
-        fl3 = flat.reshape(h, w, bpp)
         for x0, y0, dx, dy in _ADAM7:
-            sub = fl3[y0::dy, x0::dx]
-            ph, pw = sub.shape[:2]
-            if ph == 0 or pw == 0:
-                continue
-            raw += _filter_scanlines(sub.reshape(ph, pw * bpp), bpp, filters)
+            if pack is not None:
+                sub = arr[y0::dy, x0::dx]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                raw += _filter_scanlines(pack(sub), 1, filters)
+            else:
+                sub = flat.reshape(h, w, bpp)[y0::dy, x0::dx]
+                ph, pw = sub.shape[:2]
+                if ph == 0 or pw == 0:
+                    continue
+                raw += _filter_scanlines(sub.reshape(ph, pw * bpp), bpp,
+                                         filters)
     else:
         raw = _filter_scanlines(flat, bpp, filters)
 
@@ -480,7 +501,43 @@ def test_png_16bit_decode():
     )
 
 
-def test_png_subbyte_depth_still_raises():
+def test_png_subbyte_depths_decode():
+    """Round 5 (closes the last PNG seam): 1/2/4-bit gray and palette
+    images — MSB-first packed samples, byte-granularity filtering,
+    gray levels scaled to 8-bit, incl. widths that leave padding bits
+    in the final byte and Adam7 interlace."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.RandomState(29)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        # width 11 -> padded final byte at every depth
+        img = rng.randint(0, 1 << depth, size=(7, 11), dtype=np.uint8)
+        png = _encode_png(img, filters=[0, 1, 2, 3, 4], color_type=0,
+                          depth=depth)
+        got = decode_png_pixels(png)
+        assert got.shape == (7, 11, 1), f"depth {depth}"
+        assert np.array_equal(got[..., 0], img * scale), f"depth {depth}"
+        # interlaced variant
+        png_i = _encode_png(img, filters=[2, 4, 0], color_type=0,
+                            depth=depth, interlace=True)
+        assert np.array_equal(
+            decode_png_pixels(png_i)[..., 0], img * scale
+        ), f"interlaced depth {depth}"
+
+    # 4-bit palette: indices expand through PLTE
+    idx = rng.randint(0, 5, size=(6, 9), dtype=np.uint8)
+    pal = list(rng.randint(0, 256, size=15))
+    png_p = _encode_png(idx, filters=[1, 3], color_type=3, palette=pal,
+                        depth=4)
+    got_p = decode_png_pixels(png_p)
+    expect = np.array(pal, dtype=np.uint8).reshape(5, 3)[idx]
+    assert np.array_equal(got_p, expect)
+
+
+def test_png_subbyte_rgb_rejected():
     import struct as st
     import zlib
 
@@ -492,11 +549,11 @@ def test_png_subbyte_depth_still_raises():
         return (st.pack(">I", len(body)) + ctype + body
                 + st.pack(">I", zlib.crc32(ctype + body)))
 
-    deep = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
-    with _pytest.raises(NotImplementedError, match="depth"):
-        decode_png_pixels(deep)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 10)))
+    with _pytest.raises(ValueError, match="gray/palette"):
+        decode_png_pixels(bad)
 
 
 def test_sample_frames_real_png_pixels(spark):
