@@ -285,16 +285,73 @@ def _ima_adpcm_decode(payload: bytes, channels: int, block_align: int,
     return out
 
 
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_decode(payload: bytes, channels: int, block_align: int,
+                     samples_per_block: int):
+    """WAV MS-ADPCM (format tag 2) block decode: per block, per-channel
+    headers (predictor index into the 7-entry coefficient table, int16
+    initial delta, int16 samp1/samp2 — samp2 is emitted FIRST), then
+    4-bit signed prediction errors, HIGH nibble first, channel-
+    interleaved per nibble."""
+    import numpy as np
+
+    if channels < 1 or block_align < 7 * channels:
+        raise ValueError("bad MS-ADPCM framing")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[boff:boff + block_align]
+        pred_i, delta, s1, s2 = [], [], [], []
+        want = [len(ch) + samples_per_block for ch in chans]
+        for c in range(channels):
+            p = block[c]
+            if p > 6:
+                raise ValueError("MS-ADPCM predictor index out of range")
+            pred_i.append(p)
+        off = channels
+        for dest in (delta, s1, s2):
+            for c in range(channels):
+                dest.append(struct.unpack_from("<h", block, off)[0])
+                off += 2
+        for c in range(channels):
+            chans[c].append(s2[c])
+            chans[c].append(s1[c])
+        nib_chan = 0
+        for byte in block[off:]:
+            for nib in (byte >> 4, byte & 0xF):
+                c = nib_chan % channels
+                nib_chan += 1
+                err = nib - 16 if nib >= 8 else nib
+                pred = (s1[c] * _MS_COEF1[pred_i[c]]
+                        + s2[c] * _MS_COEF2[pred_i[c]]) >> 8
+                samp = max(-32768, min(32767, pred + err * delta[c]))
+                s2[c], s1[c] = s1[c], samp
+                delta[c] = max(16, (_MS_ADAPT[nib] * delta[c]) >> 8)
+                chans[c].append(samp)
+        for c in range(channels):  # trim per-block padding nibbles
+            del chans[c][want[c]:]
+    n = min(len(ch) for ch in chans)
+    out = np.empty((n, channels), dtype=np.int16)
+    for c in range(channels):
+        out[:, c] = chans[c][:n]
+    return out
+
+
 def decode_wav_samples(data: bytes):
     """REAL WAV sample decode, pure struct + numpy (round 4): returns
     (samples int16[n_frames, channels], sample_rate).  Supports the
     uncompressed profiles — format tag 1 (integer PCM) at 8/16/24/32
     bits and tag 3 (float32) — plus the G.711 telephony codecs (tag 7
-    mu-law, tag 6 A-law, table expansion) and block-structured IMA
-    ADPCM (tag 0x11, a real compressed codec — per-block predictor
-    headers, channel-interleaved nibble words), everything normalized
-    to int16.  Other compressed WAV (MS-ADPCM, mp3-in-wav) raises
-    ``NotImplementedError``."""
+    mu-law, tag 6 A-law, table expansion) and both block-structured
+    ADPCM families: IMA (tag 0x11, per-block predictor headers,
+    channel-interleaved LOW-first nibble words) and MS-ADPCM (tag 2,
+    round 5 — 7-coefficient linear predictor, adaptive delta, HIGH-first
+    nibbles), everything normalized to int16.  Remaining compressed WAV
+    (mp3-in-wav) raises ``NotImplementedError``."""
     import numpy as np
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -345,6 +402,11 @@ def decode_wav_samples(data: bytes):
     elif tag == 0x11 and bits == 4:  # IMA ADPCM (round 4)
         spb = extra if extra else (block_align - 4 * channels) * 2 // channels + 1
         return _ima_adpcm_decode(payload, channels, block_align, spb), int(rate)
+    elif tag == 2 and bits == 4:  # MS ADPCM (round 5)
+        spb = extra if extra else (
+            (block_align - 7 * channels) * 2 // channels + 2
+        )
+        return _ms_adpcm_decode(payload, channels, block_align, spb), int(rate)
     else:
         raise NotImplementedError(
             f"compressed/unsupported WAV (format tag {tag}, {bits}-bit)"

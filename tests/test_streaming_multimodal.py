@@ -799,11 +799,12 @@ def test_wav_sample_decode_unsupported_raises():
 
     from driftmind_spark.operators.multimodal import decode_wav_samples
 
-    fmt = st.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM tag
+    # mp3-in-wav (tag 0x55) stays the honest compressed-audio seam
+    fmt = st.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
     data = (b"RIFF" + st.pack("<I", 36) + b"WAVE"
             + b"fmt " + st.pack("<I", len(fmt)) + fmt
             + b"data" + st.pack("<I", 4) + b"\x00" * 4)
-    with _pytest.raises(NotImplementedError, match="format tag 2"):
+    with _pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav_samples(data)
 
 
@@ -1088,6 +1089,88 @@ def test_wav_g711_mulaw_alaw_match_audioop():
         expect = np.frombuffer(dec_fn(enc, 2), dtype="<i2")
         assert rate == 8000
         assert np.array_equal(got[:, 0], expect), f"tag {tag} mismatch"
+
+
+def test_wav_ms_adpcm_roundtrip():
+    """MS-ADPCM (tag 2): an independent in-test encoder quantizes real
+    waveforms and tracks its own reconstruction (inverting the decoder
+    walk, as the JPEG tests do); the decoder must reproduce that
+    reconstruction exactly — mono and stereo, multiple blocks,
+    per-channel predictor choices."""
+    import struct as st
+
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_wav_samples
+
+    COEF1 = [256, 512, 0, 192, 240, 460, 392]
+    COEF2 = [0, -256, 0, 64, 0, -208, -232]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+    def encode(samples, rate, spb, preds):
+        n, ch = samples.shape
+        data_bytes = -(-(spb - 2) * ch // 2)
+        ba = 7 * ch + data_bytes
+        payload = b""
+        recon = [[] for _ in range(ch)]
+        for b0 in range(0, n - spb + 1, spb):
+            blk = samples[b0:b0 + spb]
+            delta = [128] * ch
+            s2 = [int(blk[0, c]) for c in range(ch)]
+            s1 = [int(blk[1, c]) for c in range(ch)]
+            for c in range(ch):
+                recon[c] += [s2[c], s1[c]]
+            hdr = bytes(preds[c] for c in range(ch))
+            hdr += b"".join(st.pack("<h", delta[c]) for c in range(ch))
+            hdr += b"".join(st.pack("<h", s1[c]) for c in range(ch))
+            hdr += b"".join(st.pack("<h", s2[c]) for c in range(ch))
+            nibs = []
+            for i in range(2, spb):
+                for c in range(ch):
+                    pred = (s1[c] * COEF1[preds[c]]
+                            + s2[c] * COEF2[preds[c]]) >> 8
+                    e = max(-8, min(7, round((int(blk[i, c]) - pred)
+                                             / delta[c])))
+                    samp = max(-32768, min(32767, pred + e * delta[c]))
+                    nib = e & 0xF
+                    s2[c], s1[c] = s1[c], samp
+                    delta[c] = max(16, (ADAPT[nib] * delta[c]) >> 8)
+                    recon[c].append(samp)
+                    nibs.append(nib)
+            if len(nibs) % 2:
+                nibs.append(0)
+            body = bytes((nibs[j] << 4) | nibs[j + 1]
+                         for j in range(0, len(nibs), 2))
+            payload += hdr + body.ljust(data_bytes, b"\x00")
+        fmt = st.pack("<HHIIHHHH", 2, ch, rate, rate * ba // spb, ba, 4,
+                      2, spb)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(payload)) + payload)
+        return wav, np.array(recon, dtype=np.int16).T
+
+    rng = np.random.RandomState(97)
+    t = np.arange(300) / 8000.0
+    mono = (8000 * np.sin(2 * np.pi * 440 * t)
+            + rng.randint(-500, 500, size=300)).astype(np.int16)[:, None]
+    wav, recon = encode(mono, 8000, spb=100, preds=[0])
+    got, rate = decode_wav_samples(wav)
+    assert rate == 8000
+    assert np.array_equal(got, recon)
+    # reconstruction tracks the source (sanity that the codec is lossy
+    # but faithful, not just self-consistent)
+    err = np.abs(recon[:, 0].astype(np.int32) - mono[: len(recon), 0])
+    assert np.median(err) < 2000
+
+    stereo = np.stack([
+        (6000 * np.sin(2 * np.pi * 300 * t)).astype(np.int16),
+        (5000 * np.sin(2 * np.pi * 700 * t + 1.0)).astype(np.int16),
+    ], axis=1)
+    wav2, recon2 = encode(stereo, 16000, spb=60, preds=[1, 4])
+    got2, rate2 = decode_wav_samples(wav2)
+    assert rate2 == 16000
+    assert np.array_equal(got2, recon2)
 
 
 def test_wav_ima_adpcm_matches_audioop():
