@@ -97,6 +97,10 @@ def _sniff_format(data: bytes) -> str | None:
         return "riff"
     if data[4:8] == b"ftyp":
         return "mp4"
+    if data[:3] == b"ID3":
+        return "mp3"
+    if len(data) >= 4 and _mp3_frame(data, 0) is not None:
+        return "mp3"  # bare frame-sync stream (conservative header check)
     return None
 
 
@@ -647,13 +651,11 @@ def _gif_lzw_decode(stream: bytes, min_code: int, expected: int) -> bytearray:
     return out
 
 
-def decode_gif_pixels(data: bytes):
-    """REAL first-frame GIF decode, pure python + numpy (round 4):
-    logical-screen/image descriptors, global/local color tables, the
-    full variable-width LZW stream, 4-pass interlace reorder, palette
-    expansion to RGB uint8[h, w, 3].  Extensions (graphic control,
-    comments, application) are skipped; animation beyond the first
-    image descriptor is out of scope."""
+def _gif_stream(data: bytes):
+    """Iterate the GIF data stream: yields ``('gce', disposal,
+    transparent_idx)`` for graphic-control extensions and ``('img', x0,
+    y0, idx2d, pal)`` for rendered image descriptors (LZW-decoded,
+    interlace-reordered indices + their effective color table)."""
     import numpy as np
 
     if data[:4] != b"GIF8" or len(data) < 13:
@@ -668,12 +670,21 @@ def decode_gif_pixels(data: bytes):
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension block: label byte + sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
+            first = True
             while pos < len(data) and data[pos] != 0:
-                pos += 1 + data[pos]
+                sz = data[pos]
+                if label == 0xF9 and first and sz >= 3:
+                    packed = data[pos + 1]
+                    disposal = (packed >> 2) & 7
+                    trans = data[pos + 4] if (packed & 1) else None
+                    yield ("gce", disposal, trans)
+                first = False
+                pos += 1 + sz
             pos += 1
         elif b0 == 0x2C:  # image descriptor
-            _, _, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            x0, y0, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
             iflags = data[pos + 9]
             pos += 10
             ct = gct
@@ -690,6 +701,7 @@ def decode_gif_pixels(data: bytes):
                 sz = data[pos]
                 chunks.append(data[pos + 1:pos + 1 + sz])
                 pos += 1 + sz
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
             if len(idx) < w * h:
                 raise ValueError("truncated LZW pixel stream")
@@ -703,16 +715,82 @@ def decode_gif_pixels(data: bytes):
                 out = np.zeros_like(arr)
                 out[order] = arr
                 arr = out
-            pal = np.frombuffer(ct, dtype=np.uint8)
-            pal = pal.reshape(-1, 3)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
             if int(arr.max(initial=0)) >= len(pal):
                 raise ValueError("pixel index beyond color table")
-            return pal[arr]
+            yield ("img", x0, y0, arr, pal)
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
+
+
+def decode_gif_pixels(data: bytes):
+    """REAL first-frame GIF decode, pure python + numpy (round 4):
+    logical-screen/image descriptors, global/local color tables, the
+    full variable-width LZW stream, 4-pass interlace reorder, palette
+    expansion to RGB uint8[h, w, 3] at the DESCRIPTOR's size (use
+    ``decode_gif_frames`` for composed animation canvases)."""
+    for blk in _gif_stream(data):
+        if blk[0] == "img":
+            _, _x0, _y0, arr, pal = blk
+            return pal[arr]
     raise ValueError("no image descriptor")
+
+
+def decode_gif_frames(data: bytes, max_frames: int = 4):
+    """REAL animated-GIF frame decode (round 5): compose each rendered
+    image onto the logical-screen canvas honoring graphic-control
+    transparency and disposal methods 0/1 (leave), 2 (restore to
+    background color), 3 (restore previous); returns up to
+    ``max_frames`` full-canvas uint8[H, W, 3] frames."""
+    import numpy as np
+
+    if data[:4] != b"GIF8" or len(data) < 13:
+        raise ValueError("not a GIF stream")
+    W, H = struct.unpack("<HH", data[6:10])
+    flags, bg_idx = data[10], data[11]
+    bg_rgb = (0, 0, 0)
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[13:13 + 3 * n]
+        if bg_idx < n:
+            bg_rgb = tuple(gct[3 * bg_idx:3 * bg_idx + 3])
+    canvas = np.zeros((H, W, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames: list = []
+    disposal, trans = 0, None
+    for blk in _gif_stream(data):
+        if blk[0] == "gce":
+            _, disposal, trans = blk
+            continue
+        _, x0, y0, arr, pal = blk
+        h, w = arr.shape
+        # clamp hostile descriptors to the logical screen
+        h = min(h, max(0, H - y0))
+        w = min(w, max(0, W - x0))
+        if h == 0 or w == 0:
+            continue
+        sub = arr[:h, :w]
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[y0:y0 + h, x0:x0 + w]
+        rgb = pal[sub]
+        if trans is not None:
+            mask = sub != trans
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if len(frames) >= max_frames:
+            break
+        if disposal == 2:
+            canvas[y0:y0 + h, x0:x0 + w] = bg_rgb
+        elif disposal == 3:
+            canvas = before
+        disposal, trans = 0, None  # a GCE governs one rendering block
+    if not frames:
+        raise ValueError("no image descriptor")
+    return frames
 
 
 def _riff_chunks(data: bytes, lo: int, hi: int):
@@ -1011,6 +1089,84 @@ def audio_near_dups(df: DataFrame, max_hamming: int = 6,
     )
 
 
+# MPEG audio frame-header tables: bitrates (kbps) per (version-group,
+# layer), sample rates per version, samples-per-frame per (version, layer).
+_MP3_BITRATES = {
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000],   # MPEG1
+              2: [22050, 24000, 16000],   # MPEG2
+              0: [11025, 12000, 8000]}    # MPEG2.5
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """Parse one MPEG audio frame header at ``pos``; returns
+    (frame_bytes, samples, rate, channels) or None if not a valid
+    header."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3, b4 = data[pos:pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver = (b2 >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = 4 - ((b2 >> 1) & 3)  # 1..3; (b2>>1)&3 == 0 is reserved
+    if ver == 1 or ((b2 >> 1) & 3) == 0:
+        return None
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 3
+    if br_idx in (0, 0xF) or sr_idx == 3:  # free-form/bad bitrate, bad rate
+        return None
+    pad = (b3 >> 1) & 1
+    vgroup = 1 if ver == 3 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[ver][sr_idx]
+    channels = 1 if ((b4 >> 6) & 3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        size = (12 * bitrate // rate + pad) * 4
+    else:
+        samples = 1152 if (layer == 2 or ver == 3) else 576
+        size = samples // 8 * bitrate // rate + pad
+    if size < 4:
+        return None
+    return size, samples, rate, channels
+
+
+def _mp3_properties(data: bytes):
+    """(duration_ms, sample_rate, channels) by walking MPEG audio frame
+    headers — REAL header parsing (ID3v2 skip, per-frame size from the
+    bitrate/rate/padding fields, so VBR durations are exact).  Sample
+    DECODE (huffman + IMDCT) stays the honest compressed-audio seam."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit tag size
+        sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + sz
+    total_samples = 0
+    rate = chans = None
+    n = len(data)
+    while pos + 4 <= n:
+        frame = _mp3_frame(data, pos)
+        if frame is None:
+            if total_samples:
+                break  # trailing garbage / ID3v1 after the last frame
+            pos += 1   # resync: scan for the first valid header
+            continue
+        size, samples, r, c = frame
+        total_samples += samples
+        rate, chans = r, c
+        pos += size
+    if not total_samples or not rate:
+        raise ValueError("no MPEG audio frames found")
+    return int(total_samples * 1000 / rate), rate, chans
+
+
 def media_metadata(df: DataFrame, id_col: str = "media_id",
                    blob_col: str = "blob") -> DataFrame:
     """binary column -> typed metadata rows (mapInPandas, Arrow batches)."""
@@ -1025,6 +1181,8 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                 try:
                     if fmt == "wav":
                         dur, rate, chans = _wav_properties(data)
+                    elif fmt == "mp3":
+                        dur, rate, chans = _mp3_properties(data)
                     elif fmt == "mp4":
                         dur = _mp4_duration_ms(data)
                     elif fmt == "avi":
@@ -1101,6 +1259,16 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024,
                     for i in range(k)
                     if samples[i * band:(i + 1) * band].size
                 ]
+        if data[:4] == b"GIF8":
+            # animated GIF: temporal full-canvas frames (round 5); a
+            # single-image GIF falls through to spatial bands below
+            try:
+                gframes = decode_gif_frames(data, max_frames)
+            except (NotImplementedError, ValueError, struct.error,
+                    IndexError, EOFError):
+                gframes = []
+            if len(gframes) > 1:
+                return "pixels", [px.tobytes() for px in gframes]
         if (data[:8] == _PNG_SIG or data[:4] == b"GIF8"
                 or data[:3] == b"\xff\xd8\xff"):
             try:

@@ -661,6 +661,86 @@ def _encode_gif(idx, palette, min_code=None, interlace=False):
     return bytes(out)
 
 
+def _encode_gif_anim(W, H, palette, bg_idx, frames):
+    """Animated GIF89a writer for the test: ``frames`` is a list of
+    (x0, y0, idx2d, disposal, trans_idx_or_None), each preceded by a
+    graphic-control extension."""
+    import struct as st
+
+    import numpy as np
+
+    n_colors = len(palette) // 3
+    ct_bits = max(1, (n_colors - 1).bit_length())
+    ct = bytes(palette) + b"\x00" * (3 * ((1 << ct_bits) - n_colors))
+    min_code = max(2, ct_bits)
+    out = bytearray()
+    out += b"GIF89a" + st.pack("<HH", W, H)
+    out.append(0x80 | (ct_bits - 1))
+    out.append(bg_idx)
+    out += b"\x00" + ct
+    for x0, y0, idx, disposal, trans in frames:
+        idx = np.asarray(idx, dtype=np.uint8)
+        h, w = idx.shape
+        packed = (disposal << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9" + bytes([4, packed, 0, 0, trans or 0]) + b"\x00"
+        out += b"\x2c" + st.pack("<HHHH", x0, y0, w, h) + b"\x00"
+        out.append(min_code)
+        data = _lzw_encode(idx.reshape(-1).tolist(), min_code)
+        for i in range(0, len(data), 200):
+            blk = data[i:i + 200]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animated_frames_compose(spark):
+    """decode_gif_frames (round 5): full-canvas composition with
+    transparency and disposal 2 (restore background), checked against a
+    hand-composed expectation; sample_frames emits the temporal frames."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import decode_gif_frames
+
+    pal = [10, 20, 30,   200, 0, 0,   0, 200, 0,   0, 0, 200]  # bg,R,G,B
+    W, H = 8, 6
+    f0 = np.full((6, 8), 1, dtype=np.uint8)          # full red
+    f1 = np.full((3, 4), 2, dtype=np.uint8)          # green patch at (2,1)
+    f1[1, 1] = 0                                     # transparent hole
+    f2 = np.full((2, 2), 3, dtype=np.uint8)          # blue patch at (5,3)
+    gif = _encode_gif_anim(W, H, pal, 0, [
+        (0, 0, f0, 1, None),   # leave
+        (2, 1, f1, 2, 0),      # transparent idx 0, then restore bg
+        (5, 3, f2, 0, None),
+    ])
+    frames = decode_gif_frames(gif, max_frames=8)
+    assert len(frames) == 3
+
+    c = np.zeros((H, W, 3), dtype=np.uint8)
+    c[:] = (10, 20, 30)
+    c[:, :] = (200, 0, 0)
+    assert np.array_equal(frames[0], c)
+    c1 = c.copy()
+    c1[1:4, 2:6] = (0, 200, 0)
+    c1[2, 3] = (200, 0, 0)     # transparent hole keeps frame-0 pixel
+    assert np.array_equal(frames[1], c1)
+    c2 = c.copy()              # disposal 2 restored the patch to bg
+    c2[1:4, 2:6] = (10, 20, 30)
+    c2[3:5, 5:7] = (0, 0, 200)
+    assert np.array_equal(frames[2], c2)
+
+    # through the Spark operator: temporal frames, kind=pixels
+    df = spark.createDataFrame(
+        [("g1", bytearray(gif))], "media_id string, blob binary"
+    )
+    rows = sample_frames(df, max_frames=8).collect()
+    assert len(rows) == 3 and {r["kind"] for r in rows} == {"pixels"}
+    got = {r["frame_index"]: bytes(r["frame"]) for r in rows}
+    for i, fr in enumerate(frames):
+        assert got[i] == fr.tobytes()
+
+
 def test_gif_pixel_decode_roundtrip():
     """LZW dictionary growth + palette expansion: random index images at
     several sizes/palettes must round-trip exactly."""
@@ -1089,6 +1169,66 @@ def test_wav_g711_mulaw_alaw_match_audioop():
         expect = np.frombuffer(dec_fn(enc, 2), dtype="<i2")
         assert rate == 8000
         assert np.array_equal(got[:, 0], expect), f"tag {tag} mismatch"
+
+
+def _mp3_frame_bytes(ver_bits, layer_bits, br_idx, sr_idx, mono,
+                     bitrate, rate, layer, mpeg1):
+    import struct as st
+
+    b2 = 0xE0 | (ver_bits << 3) | (layer_bits << 1)
+    b3 = (br_idx << 4) | (sr_idx << 2)
+    b4 = 0xC0 if mono else 0x00
+    if layer == 1:
+        size = (12 * bitrate // rate) * 4
+        samples = 384
+    else:
+        samples = 1152 if (layer == 2 or mpeg1) else 576
+        size = samples // 8 * bitrate // rate
+    hdr = st.pack("BBBB", 0xFF, b2, b3, b4)
+    return hdr + b"\x00" * (size - 4), samples
+
+
+def test_mp3_metadata_properties(spark):
+    """MP3 frame-header walk (round 5): ID3v2 skip, per-frame sizing
+    from the bitrate/rate fields, duration from summed frame samples —
+    MPEG1 stereo and MPEG2 mono, with leading junk resync and an ID3v1
+    trailer.  Sample decode remains the honest seam."""
+    import numpy as np
+
+    from driftmind_spark.operators.multimodal import (
+        _mp3_properties,
+        _sniff_format,
+        media_metadata,
+    )
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: 417-byte frames
+    frame, samples = _mp3_frame_bytes(3, 1, 9, 0, False, 128000, 44100, 3, True)
+    assert len(frame) == 417
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    blob = id3 + frame * 38 + b"TAG" + b"\x00" * 125  # ID3v1 trailer
+    dur, rate, ch = _mp3_properties(blob)
+    assert rate == 44100 and ch == 2
+    assert dur == int(38 * samples * 1000 / 44100)
+    assert _sniff_format(blob) == "mp3"
+
+    # MPEG2 Layer III, 64 kbps, 22050 Hz, mono, leading garbage
+    frame2, samples2 = _mp3_frame_bytes(2, 1, 8, 0, True, 64000, 22050, 3, False)
+    blob2 = b"\x01\x02junk" + frame2 * 10
+    dur2, rate2, ch2 = _mp3_properties(blob2)
+    assert rate2 == 22050 and ch2 == 1
+    assert dur2 == int(10 * samples2 * 1000 / 22050)
+
+    # through the Spark operator (sniff needs ID3 or a frame at byte 0)
+    df = spark.createDataFrame(
+        [("a1", bytearray(blob)), ("a2", bytearray(frame2 * 10))],
+        "media_id string, blob binary",
+    )
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert meta["a1"]["format"] == "mp3"
+    assert meta["a1"]["duration_ms"] == dur
+    assert meta["a1"]["sample_rate"] == 44100 and meta["a1"]["channels"] == 2
+    assert meta["a2"]["format"] == "mp3"
+    assert meta["a2"]["duration_ms"] == dur2 and meta["a2"]["channels"] == 1
 
 
 def test_wav_ms_adpcm_roundtrip():
