@@ -633,6 +633,35 @@ def test_corpus_dedup_exact_then_near(spark):
     assert got["d9"]["is_keeper"] and got["d9"]["cluster_size"] == 1
 
 
+def test_corpus_dedup_idempotent(spark):
+    """Fixed-point property: running corpus_dedup over the keepers of a
+    previous run must drop nothing — every surviving doc is its own
+    keeper in a singleton cluster.  (The round-5 over-merge bug would
+    fail this: unverified chaining kept collapsing survivors.)"""
+    rng = np.random.RandomState(47)
+    vocab = np.array(["zulu", "actor", "binder", "copper", "dragon",
+                      "ember", "falcon", "garnet", "harbor", "island"])
+    rows = []
+    for i in range(12):
+        base = _sentences(rng, 20, vocab)
+        rows.append((f"s{i}a", base))
+        if i % 3 == 0:
+            rows.append((f"s{i}b", base))                       # exact
+        if i % 4 == 0:
+            rows.append((f"s{i}c", base + " " + _sentences(rng, 1, vocab)))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    res1 = dd.corpus_dedup(docs)
+    keepers = docs.join(
+        res1.filter("is_keeper").select("doc_id"), "doc_id", "left_semi"
+    )
+    res2 = dd.corpus_dedup(keepers)
+    again = res2.filter("not is_keeper").count()
+    assert again == 0, f"dedup not idempotent: {again} re-drops"
+    assert res2.filter("cluster_size > 1").count() == 0
+    # and the first pass did collapse the planted families
+    assert res1.filter("not is_keeper").count() >= 4
+
+
 def test_dedup_resolution_string_ids(spark):
     """The documented composition with the perceptual pair families:
     STRING media ids must flow through the CC driver path (its label
