@@ -368,11 +368,20 @@ def minhash_hot_band_stats(
     bands: int = 4,
     shingle_k: int = 5,
     max_bucket_size: int = 256,
+    portable: bool = True,
+    sample_mod: int = 4,
 ) -> DataFrame:
     """Observability for the band-bucket cap (no silent truncation): the
-    (band_idx, band_hash) buckets ``minhash_lsh_pairs_sql`` dropped, with
-    their sizes."""
-    melted = _minhash_banded(docs, text_col, num_perm, bands, shingle_k)
+    (band_idx, band_hash) buckets ``minhash_lsh_pairs_sql`` /
+    ``minhash_lsh_verified_pairs`` dropped, with their sizes.  Pass the
+    SAME num_perm/bands/portable/sample_mod as the pair call to observe
+    its exact buckets (e.g. ``num_perm=64, bands=8, portable=False`` for
+    the corpus_dedup fast path)."""
+    melted = _melt_bands(
+        _minhash_signatures(docs, text_col, num_perm, shingle_k,
+                            portable=portable, sample_mod=sample_mod),
+        num_perm, bands,
+    )
     return (
         melted.groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("bucket_size"))

@@ -105,3 +105,192 @@ def new_versions_batch(pages: DataFrame) -> DataFrame:
         .dropDuplicates(["url", "warc_ts"])
         .withColumn("version", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate gate (round 5): incremental MinHash-LSH dedup.
+# ---------------------------------------------------------------------------
+
+DUP_OUT_SCHEMA = "url string, warc_ts timestamp, band_idx int, dup_of string, agreement int"
+DUP_STATE_SCHEMA = "reps binary, latest long"
+
+
+def _sig_banded(pages: DataFrame, num_perm: int, bands: int,
+                shingle_k: int) -> DataFrame:
+    """(url, warc_ts, sig, band_idx, band_hash) rows: ONE numpy MinHash
+    UDF per page (kernels/hashing — per-row, so it is streaming-legal:
+    no aggregation before the stateful operator), band keys derived
+    JVM-side from signature slices."""
+    from ..functions.udfs import make_minhash_sig_udf
+
+    rows_per_band = num_perm // bands
+    sig_udf = make_minhash_sig_udf(num_perm=num_perm, shingle_k=shingle_k)
+    with_sig = pages.select(
+        "url", "warc_ts", sig_udf("text").alias("sig")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return with_sig.select(
+        "url", "warc_ts", "sig",
+        F.explode(F.array(*band_structs)).alias("bh"),
+    ).select("url", "warc_ts", "sig", "bh.band_idx", "bh.band_hash")
+
+
+def _fold_bucket(rows, reps, min_slots: int, max_reps: int):
+    """The shared per-bucket fold (stream and batch run the SAME code):
+    ``rows`` is (url, warc_ts, sig_list) in event order; ``reps`` the
+    bucket's representative list [(url, sig_list)].  A row whose
+    signature agrees with a representative on >= min_slots slots is a
+    near-dup (emitted, NOT added to reps — keeper semantics); otherwise
+    it becomes a representative while the bucket has capacity.  Returns
+    (dup_rows, reps)."""
+    out = []
+    for url, ts, sig in rows:
+        hit = None
+        for rep_url, rep_sig in reps:
+            agree = sum(1 for a, b in zip(sig, rep_sig) if a == b)
+            if agree >= min_slots:
+                hit = (rep_url, agree)
+                break
+        if hit is not None:
+            out.append((url, ts, hit[0], hit[1]))
+        elif len(reps) < max_reps:
+            reps.append((url, list(sig)))
+    return out, reps
+
+
+def _near_dup_fn(num_perm: int, min_agreement: float, max_reps: int,
+                 ttl_seconds: int):
+    min_slots = int(-(-min_agreement * num_perm // 1))
+
+    def fn(key, pdf_iter, state):
+        import pickle
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band_idx = int(key[0])
+        reps, latest = (
+            (pickle.loads(bytes(state.get[0])), state.get[1])
+            if state.exists else ([], -1)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["warc_ts", "url"])
+            for url, ts, sig in zip(pdf["url"], pdf["warc_ts"], pdf["sig"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                latest = max(latest, ts_us)
+                rows.append((url, ts, list(sig)))
+        dups, reps = _fold_bucket(rows, reps, min_slots, max_reps)
+        state.update((pickle.dumps(reps), latest))
+        if latest >= 0:
+            state.setTimeoutTimestamp(latest // 1000 + ttl_seconds * 1000)
+        if dups:
+            yield pd.DataFrame(
+                [(u, t, band_idx, d, a) for (u, t, d, a) in dups],
+                columns=["url", "warc_ts", "band_idx", "dup_of", "agreement"],
+            )
+
+    return fn
+
+
+def stream_near_dups(
+    pages_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_agreement: float = 0.9,
+    max_reps: int = 8,
+    watermark: str = "1 hour",
+    ttl_seconds: int = 7 * 24 * 3600,
+):
+    """Incremental near-dup detection over a page stream — the streaming
+    analog of ``operators.dedup.corpus_dedup``'s pair stage: per LSH
+    band bucket, persistent state holds up to ``max_reps``
+    representative signatures; an arriving page whose MinHash agrees
+    with a representative on >= ``min_agreement`` of ``num_perm`` slots
+    is flagged ``(url, band_idx, dup_of, agreement)``.  A url is a
+    near-dup iff ANY band flags it (aggregate downstream — the verdict
+    rows are per-band so the stream stays single-stateful-operator).
+
+    State is bounded three ways: reps per bucket capped (keeper
+    semantics — dups are never added), the stream is watermarked, and
+    each bucket carries an event-time TTL past its newest row, exactly
+    like ``stream_new_versions``.  Like every verified-dedup path here,
+    band collision alone NEVER flags a page — the signature-agreement
+    check runs on every candidate (the round-5 over-merge lesson)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    flagged = (
+        _sig_banded(
+            pages_stream.select("url", "warc_ts", "text"),
+            num_perm, bands, shingle_k,
+        )
+        .withWatermark("warc_ts", watermark)
+        .groupBy("band_idx", "band_hash")
+        .applyInPandasWithState(
+            _near_dup_fn(num_perm, min_agreement, max_reps, ttl_seconds),
+            outputStructType=DUP_OUT_SCHEMA,
+            stateStructType=DUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dup_flags_batch(
+    pages: DataFrame,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 3,
+    min_agreement: float = 0.9,
+    max_reps: int = 8,
+) -> DataFrame:
+    """Batch analog (differential oracle): the SAME ``_fold_bucket``
+    applied per band bucket over event-ordered rows."""
+    min_slots = int(-(-min_agreement * num_perm // 1))
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["warc_ts", "url"])
+        band_idx = int(pdf["band_idx"].iloc[0])
+        rows = [(u, t, list(s)) for u, t, s in
+                zip(pdf["url"], pdf["warc_ts"], pdf["sig"])]
+        dups, _ = _fold_bucket(rows, [], min_slots, max_reps)
+        return pd.DataFrame(
+            [(u, t, band_idx, d, a) for (u, t, d, a) in dups],
+            columns=["url", "warc_ts", "band_idx", "dup_of", "agreement"],
+        )
+
+    return (
+        _sig_banded(pages.select("url", "warc_ts", "text"),
+                    num_perm, bands, shingle_k)
+        .groupBy("band_idx", "band_hash")
+        .applyInPandas(fold, DUP_OUT_SCHEMA)
+    )

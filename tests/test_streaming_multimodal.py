@@ -258,6 +258,111 @@ def test_media_metadata_stdlib_decoders(spark):
     assert meta["v"]["duration_ms"] == 2500
 
 
+def test_stream_near_dups_flags_planted_clones(spark, tmp_path_factory):
+    """Streaming near-dup gate (round 5): clones planted in LATER
+    micro-batches are flagged against their earlier-seen sources with
+    per-band verdicts; the stream equals the batch analog row-for-row;
+    and the verified threshold prevents boilerplate over-flagging."""
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.stateful import (
+        near_dup_flags_batch,
+        stream_near_dups,
+    )
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import _is_planted_clone, generate_pages
+
+    d = str(tmp_path_factory.mktemp("dup_stream_pages"))
+    for part in range(4):
+        pages, _ = generate_pages(60, start=part * 60, min_sent=12,
+                                  max_sent=20, dup_rate=0.15)
+        pq.write_table(pages, f"{d}/part-{part}.parquet")
+
+    out = str(tmp_path_factory.mktemp("near_dup_out"))
+    ckpt = str(tmp_path_factory.mktemp("near_dup_ckpt"))
+    q = stream_near_dups(
+        read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
+    )
+    q.awaitTermination(300)
+    flagged = spark.read.parquet(out)
+    flagged_urls = {r["url"] for r in flagged.select("url").distinct().collect()}
+
+    # every VERBATIM clone (identical text => identical signature,
+    # agreement = num_perm) must be flagged
+    pages_all = spark.read.parquet(d).toPandas()
+    by_text = {}
+    verbatim = set()
+    for row in pages_all.sort_values("warc_ts").itertuples():
+        if row.text and row.text in by_text:
+            verbatim.add(row.url)
+        else:
+            by_text[row.text] = row.url
+    assert verbatim, "corpus planted no verbatim clones"
+    assert verbatim <= flagged_urls, (
+        f"missed verbatim clones: {verbatim - flagged_urls}"
+    )
+    exact = flagged.filter("agreement = 64")
+    assert exact.count() > 0
+
+    # no over-flagging: the verified threshold keeps flags near the
+    # planted rate, never the boilerplate-sibling blowup
+    n_clones = sum(_is_planted_clone(i, 42, 0.15) for i in range(240))
+    assert len(flagged_urls) <= n_clones + 10
+
+    # differential: stream == batch analog (same fold, same order)
+    batch = near_dup_flags_batch(spark.read.parquet(d))
+    s_rows = flagged.select("url", "band_idx", "dup_of", "agreement")
+    b_rows = batch.select("url", "band_idx", "dup_of", "agreement")
+    assert s_rows.count() == b_rows.count()
+    assert s_rows.exceptAll(b_rows).count() == 0
+
+
+def test_stream_near_dups_state_survives_restart(spark, tmp_path_factory):
+    """Bucket representative state must persist across stream restarts:
+    a clone arriving in a SECOND run (new files, same checkpoint) is
+    flagged against a source seen only in the first run."""
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.stateful import stream_near_dups
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("dup_restart_pages"))
+    out = str(tmp_path_factory.mktemp("dup_restart_out"))
+    ckpt = str(tmp_path_factory.mktemp("dup_restart_ckpt"))
+
+    # run 1: originals only (no clones planted below the floor region)
+    pages, _ = generate_pages(40, min_sent=12, max_sent=20)
+    pq.write_table(pages, f"{d}/part-0.parquet")
+    q = stream_near_dups(read_pages_stream(spark, d, 1), out, ckpt)
+    q.awaitTermination(300)
+
+    # run 2: verbatim re-posts of run-1 pages under new urls/timestamps
+    import pandas as pd
+    import pyarrow as pa
+
+    src = pages.to_pandas()
+    clones = src.iloc[30:36].copy()
+    clones["url"] = [f"https://mirror.example/re-{i}" for i in range(6)]
+    clones["warc_ts"] = clones["warc_ts"] + pd.Timedelta(seconds=999)
+    pq.write_table(
+        pa.Table.from_pandas(clones, preserve_index=False,
+                             schema=pages.schema),
+        f"{d}/part-1.parquet",
+    )
+    q2 = stream_near_dups(read_pages_stream(spark, d, 1), out, ckpt)
+    q2.awaitTermination(300)
+
+    flagged = spark.read.parquet(out)
+    got = {r["url"]: r["dup_of"]
+           for r in flagged.filter("agreement = 64").collect()}
+    src_urls = set(src.iloc[30:36]["url"])
+    for i in range(6):
+        u = f"https://mirror.example/re-{i}"
+        assert u in got, f"cross-restart clone {u} not flagged"
+        assert got[u] in src_urls
+
+
 def test_stream_triples_matches_batch(spark, stream_corpus, tmp_path_factory):
     """Incremental KG ingestion: the streaming triples stage must emit
     EXACTLY the batch stage's triples (same kernel, same bucket layout),
