@@ -227,6 +227,17 @@ def minhash_lsh_pairs_sql(
     )
 
 
+def _portable_sample_digits(sample_mod: int) -> list[str]:
+    """Hex digits kept by the portable path's last-digit mod-sample:
+    the first ``16 // sample_mod`` of '0'..'f' (so 4 -> '0123', 8 ->
+    '01', 1 -> all).  ``sample_mod`` must divide 16 on this path."""
+    if sample_mod < 1 or 16 % sample_mod:
+        raise ValueError(
+            f"portable sampling needs sample_mod dividing 16, got {sample_mod}"
+        )
+    return list("0123456789abcdef"[: 16 // sample_mod])
+
+
 def _minhash_signatures(
     docs: DataFrame,
     text_col: str,
@@ -303,7 +314,10 @@ def _minhash_signatures(
             ).alias("i"),
         )
         .select("doc_id", F.md5(F.substring(F.col("t"), F.col("i"), F.lit(shingle_k))).alias("h"))
-        .filter(F.substring("h", 32, 1).isin("0", "1", "2", "3"))
+        # 1/sample_mod Broder mod-sample on the last hex digit (first
+        # 16//sample_mod digits keep; sample_mod=4 -> '0'..'3', matching
+        # the DuckDB oracle literal byte-for-byte)
+        .filter(F.substring("h", 32, 1).isin(*_portable_sample_digits(sample_mod)))
         .select(
             "doc_id",
             F.pmod(

@@ -191,11 +191,15 @@ def _near_dup_fn(num_perm: int, min_agreement: float, max_reps: int,
         )
         rows = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["warc_ts", "url"])
             for url, ts, sig in zip(pdf["url"], pdf["warc_ts"], pdf["sig"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
                 latest = max(latest, ts_us)
                 rows.append((url, ts, list(sig)))
+        # sort the CONCATENATED rows: a hot bucket can span several Arrow
+        # chunks of pdf_iter in arbitrary order, and the fold's
+        # earlier-seen-wins semantics needs one global event order per
+        # micro-batch (per-chunk sorting alone would elect late reps)
+        rows.sort(key=lambda r: (r[1], r[0]))
         dups, reps = _fold_bucket(rows, reps, min_slots, max_reps)
         state.update((pickle.dumps(reps), latest))
         if latest >= 0:

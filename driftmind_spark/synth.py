@@ -146,7 +146,9 @@ def _render_html(
 def _is_planted_clone(page_idx: int, seed: int, dup_rate: float) -> bool:
     """Deterministic per-index clone selection (independent RNG stream so
     the normal-content draws are untouched when dup_rate == 0)."""
-    if dup_rate <= 0.0 or page_idx < _DUP_FLOOR:
+    # strictly above the floor: idx == _DUP_FLOOR has an empty source
+    # range (randrange(floor, floor) raises)
+    if dup_rate <= 0.0 or page_idx <= _DUP_FLOOR:
         return False
     drng = random.Random(((seed + 1) << 33) ^ (page_idx * 0x9E3779B97F4A7C15))
     return drng.random() < dup_rate

@@ -151,6 +151,19 @@ def test_synth_planted_near_dups():
     assert generate_pages(40)[0].equals(generate_pages(40, dup_rate=0.0)[0])
 
 
+def test_synth_dup_floor_index_never_clones():
+    """Regression (round-5 review): page_idx == _DUP_FLOOR selected as a
+    clone crashed randrange(floor, floor); the floor index must never be
+    a clone, at any seed."""
+    from driftmind_spark.synth import _DUP_FLOOR, _is_planted_clone
+
+    for seed in range(200):
+        assert not _is_planted_clone(_DUP_FLOOR, seed, 0.99)
+        # and generation at the floor index never raises
+    for seed in (4, 7, 42):  # seed 4 was the confirmed crash case
+        assert generate_page(_DUP_FLOOR, seed=seed, dup_rate=0.1)["url"]
+
+
 def test_kernel_pr_gate():
     """North-rule P/R >= 0.95 for the single-node reference-semantics
     extractor against the planted ground truth."""

@@ -633,6 +633,35 @@ def test_corpus_dedup_exact_then_near(spark):
     assert got["d9"]["is_keeper"] and got["d9"]["cluster_size"] == 1
 
 
+def test_portable_sample_mod_takes_effect(spark):
+    """Regression (round-5 review): the portable path used to ignore
+    sample_mod entirely (hardcoded 1/4 digits).  Different mods must
+    sample different shingle sets, mod=4 must keep the oracle's exact
+    '0'..'3' digits, and non-divisors of 16 are rejected."""
+    from driftmind_spark.operators.dedup import (
+        _minhash_signatures,
+        _portable_sample_digits,
+    )
+
+    assert _portable_sample_digits(4) == ["0", "1", "2", "3"]
+    assert _portable_sample_digits(8) == ["0", "1"]
+    assert _portable_sample_digits(1) == list("0123456789abcdef")
+    with pytest.raises(ValueError, match="dividing 16"):
+        _portable_sample_digits(3)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly "
+          "while seventeen violet zeppelins hover above the harbor")],
+        "doc_id long, text string",
+    )
+    s4 = _minhash_signatures(docs, "text", 8, 5, sample_mod=4).collect()[0]
+    s16 = _minhash_signatures(docs, "text", 8, 5, sample_mod=16).collect()[0]
+    # a 1/16 sample is a subset of the 1/4 sample, so every min can only
+    # rise; at least one slot must actually change on this text
+    assert any(s16[f"s{i}"] != s4[f"s{i}"] for i in range(8))
+    assert all(s16[f"s{i}"] >= s4[f"s{i}"] for i in range(8))
+
+
 def test_corpus_dedup_idempotent(spark):
     """Fixed-point property: running corpus_dedup over the keepers of a
     previous run must drop nothing — every surviving doc is its own

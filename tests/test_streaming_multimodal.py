@@ -1373,8 +1373,9 @@ def test_wav_ms_adpcm_roundtrip():
             nibs = []
             for i in range(2, spb):
                 for c in range(ch):
-                    pred = (s1[c] * COEF1[preds[c]]
-                            + s2[c] * COEF2[preds[c]]) >> 8
+                    q = (s1[c] * COEF1[preds[c]]
+                         + s2[c] * COEF2[preds[c]])
+                    pred = q >> 8 if q >= 0 else -((-q) >> 8)  # trunc to 0
                     e = max(-8, min(7, round((int(blk[i, c]) - pred)
                                              / delta[c])))
                     samp = max(-32768, min(32767, pred + e * delta[c]))
