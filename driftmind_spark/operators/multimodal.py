@@ -658,9 +658,10 @@ def _gif_lzw_decode(stream: bytes, min_code: int, expected: int) -> bytearray:
 
 def _gif_stream(data: bytes):
     """Iterate the GIF data stream: yields ``('gce', disposal,
-    transparent_idx)`` for graphic-control extensions and ``('img', x0,
-    y0, idx2d, pal)`` for rendered image descriptors (LZW-decoded,
-    interlace-reordered indices + their effective color table)."""
+    transparent_idx, delay_cs)`` for graphic-control extensions and
+    ``('img', x0, y0, idx2d, pal)`` for rendered image descriptors
+    (LZW-decoded, interlace-reordered indices + their effective color
+    table)."""
     import numpy as np
 
     if data[:4] != b"GIF8" or len(data) < 13:
@@ -680,11 +681,12 @@ def _gif_stream(data: bytes):
             first = True
             while pos < len(data) and data[pos] != 0:
                 sz = data[pos]
-                if label == 0xF9 and first and sz >= 3:
+                if label == 0xF9 and first and sz >= 4:
                     packed = data[pos + 1]
                     disposal = (packed >> 2) & 7
+                    delay_cs = struct.unpack_from("<H", data, pos + 2)[0]
                     trans = data[pos + 4] if (packed & 1) else None
-                    yield ("gce", disposal, trans)
+                    yield ("gce", disposal, trans, delay_cs)
                 first = False
                 pos += 1 + sz
             pos += 1
@@ -767,7 +769,7 @@ def decode_gif_frames(data: bytes, max_frames: int = 4):
     disposal, trans = 0, None
     for blk in _gif_stream(data):
         if blk[0] == "gce":
-            _, disposal, trans = blk
+            _, disposal, trans, _delay = blk
             continue
         _, x0, y0, arr, pal = blk
         h, w = arr.shape
@@ -1188,6 +1190,18 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                         dur, rate, chans = _wav_properties(data)
                     elif fmt == "mp3":
                         dur, rate, chans = _mp3_properties(data)
+                    elif fmt == "gif":
+                        w, h = _decode_dimensions(data)
+                        # animated GIFs: duration from summed GCE frame
+                        # delays (centiseconds); stills keep NULL
+                        n_imgs, delay_cs = 0, 0
+                        for blk in _gif_stream(data):
+                            if blk[0] == "gce":
+                                delay_cs += blk[3]
+                            else:
+                                n_imgs += 1
+                        if n_imgs > 1:
+                            dur = delay_cs * 10
                     elif fmt == "mp4":
                         dur = _mp4_duration_ms(data)
                     elif fmt == "avi":

@@ -317,6 +317,46 @@ def test_stream_near_dups_flags_planted_clones(spark, tmp_path_factory):
     assert s_rows.exceptAll(b_rows).count() == 0
 
 
+def test_fold_bucket_invariants():
+    """Property test for the shared streaming/batch fold: reps bounded,
+    every dup references an EARLIER row or rep, agreement >= threshold,
+    incremental folding (any split into chunks) equals one-shot folding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    from driftmind_spark.streaming.stateful import _fold_bucket
+
+    sigs = st_.lists(
+        st_.lists(st_.integers(0, 3), min_size=4, max_size=4),
+        min_size=0, max_size=24,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(sigs=sigs, min_slots=st_.integers(1, 4), max_reps=st_.integers(1, 5),
+           cut=st_.integers(0, 24))
+    def check(sigs, min_slots, max_reps, cut):
+        rows = [(f"u{i:03d}", i, s) for i, s in enumerate(sigs)]
+        dups, reps = _fold_bucket(list(rows), [], min_slots, max_reps)
+        assert len(reps) <= max_reps
+        seen = set()
+        rep_urls = {r[0] for r in reps}
+        for url, ts, dup_of, agree in dups:
+            assert agree >= min_slots
+            assert dup_of in rep_urls
+            assert dup_of < url  # min-first ordering: rep is earlier
+            seen.add(url)
+        assert seen.isdisjoint(rep_urls)  # dups never become reps
+        # incremental == one-shot for ANY chunk split (the stream
+        # processes the same bucket across micro-batches)
+        cut = min(cut, len(rows))
+        d1, r1 = _fold_bucket(rows[:cut], [], min_slots, max_reps)
+        d2, r1 = _fold_bucket(rows[cut:], r1, min_slots, max_reps)
+        assert d1 + d2 == dups
+        assert r1 == reps
+
+    check()
+
+
 def test_stream_near_dups_state_survives_restart(spark, tmp_path_factory):
     """Bucket representative state must persist across stream restarts:
     a clone arriving in a SECOND run (new files, same checkpoint) is
@@ -766,10 +806,10 @@ def _encode_gif(idx, palette, min_code=None, interlace=False):
     return bytes(out)
 
 
-def _encode_gif_anim(W, H, palette, bg_idx, frames):
+def _encode_gif_anim(W, H, palette, bg_idx, frames, delay_cs=7):
     """Animated GIF89a writer for the test: ``frames`` is a list of
     (x0, y0, idx2d, disposal, trans_idx_or_None), each preceded by a
-    graphic-control extension."""
+    graphic-control extension carrying ``delay_cs``."""
     import struct as st
 
     import numpy as np
@@ -787,7 +827,10 @@ def _encode_gif_anim(W, H, palette, bg_idx, frames):
         idx = np.asarray(idx, dtype=np.uint8)
         h, w = idx.shape
         packed = (disposal << 2) | (1 if trans is not None else 0)
-        out += b"\x21\xf9" + bytes([4, packed, 0, 0, trans or 0]) + b"\x00"
+        out += (b"\x21\xf9"
+                + bytes([4, packed, delay_cs & 0xFF, delay_cs >> 8,
+                         trans or 0])
+                + b"\x00")
         out += b"\x2c" + st.pack("<HHHH", x0, y0, w, h) + b"\x00"
         out.append(min_code)
         data = _lzw_encode(idx.reshape(-1).tolist(), min_code)
@@ -844,6 +887,12 @@ def test_gif_animated_frames_compose(spark):
     got = {r["frame_index"]: bytes(r["frame"]) for r in rows}
     for i, fr in enumerate(frames):
         assert got[i] == fr.tobytes()
+
+    # animated duration from summed GCE delays (3 frames x 7 cs)
+    meta = media_metadata(df).collect()[0]
+    assert meta["format"] == "gif"
+    assert (meta["width"], meta["height"]) == (W, H)
+    assert meta["duration_ms"] == 3 * 7 * 10
 
 
 def test_gif_pixel_decode_roundtrip():
