@@ -732,6 +732,47 @@ def _gif_stream(data: bytes):
             raise ValueError(f"unknown GIF block 0x{b0:02x}")
 
 
+def _gif_scan_meta(data: bytes):
+    """(n_images, total_delay_cs) by a STRUCTURAL block walk — skips
+    image data sub-blocks by their length bytes, never LZW-decodes
+    (metadata over a crawl must not pay pixel-decode cost)."""
+    if data[:4] != b"GIF8" or len(data) < 13:
+        raise ValueError("not a GIF stream")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 7))
+    n_imgs, delay_cs = 0, 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            pos += 2
+            first = True
+            while pos < len(data) and data[pos] != 0:
+                sz = data[pos]
+                if label == 0xF9 and first and sz >= 4:
+                    delay_cs += struct.unpack_from("<H", data, pos + 2)[0]
+                first = False
+                pos += 1 + sz
+            pos += 1
+        elif b0 == 0x2C:
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            n_imgs += 1
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    return n_imgs, delay_cs
+
+
 def decode_gif_pixels(data: bytes):
     """REAL first-frame GIF decode, pure python + numpy (round 4):
     logical-screen/image descriptors, global/local color tables, the
@@ -1193,13 +1234,10 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                     elif fmt == "gif":
                         w, h = _decode_dimensions(data)
                         # animated GIFs: duration from summed GCE frame
-                        # delays (centiseconds); stills keep NULL
-                        n_imgs, delay_cs = 0, 0
-                        for blk in _gif_stream(data):
-                            if blk[0] == "gce":
-                                delay_cs += blk[3]
-                            else:
-                                n_imgs += 1
+                        # delays (centiseconds); stills keep NULL.
+                        # Structural walk only — metadata must never pay
+                        # for an LZW decode of every frame.
+                        n_imgs, delay_cs = _gif_scan_meta(data)
                         if n_imgs > 1:
                             dur = delay_cs * 10
                     elif fmt == "mp4":
