@@ -448,6 +448,9 @@ def q_s12_evolution(spark, sf_dir):
 
 
 _TOKEN_SECRET = b"driftmind-demo-secret"
+# fixed validation instant (2025-08-12T11:20:00Z) so the expiry check is
+# deterministic and oracle-checkable; production passes F.unix_timestamp()
+_TOKEN_NOW = 1755000000
 
 
 def q_hmac_tokens(spark, sf_dir):
@@ -456,20 +459,40 @@ def q_hmac_tokens(spark, sf_dir):
     token = base64(json) '.' base64(hmac); verify recomputes the
     signature from the token string alone and a tampered token must
     fail.  The HMAC arithmetic (ipad/opad blocks, sha2 composition) is
-    mirrored byte-for-byte in the DuckDB oracle."""
-    from driftmind_spark.functions.tokens import sign_token, verify_token
+    mirrored byte-for-byte in the DuckDB oracle.
+
+    Round 6 adds the EXPIRY check (ref DownloadService.cs:122 —
+    ``DateTime.UtcNow > tokenData.ExpiresAt`` rejects): ``valid_now`` =
+    full validation of the fresh token at a fixed now-instant (true),
+    ``expired_valid`` = the same validation of a token whose payload
+    ``exp`` is in the past — signature still verifies, but
+    ``validate_token`` must reject it (false)."""
+    from driftmind_spark.functions.tokens import (
+        sign_token,
+        validate_token,
+        verify_token,
+    )
 
     d = _t(spark, sf_dir, "documents")
     payload = F.concat(
         F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"exp":1767225600}')
     )
     token = sign_token(payload, _TOKEN_SECRET)
+    # same doc, past expiry (2000-01-01) — correctly signed, stale
+    expired_payload = F.concat(
+        F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"exp":946684800}')
+    )
+    expired_token = sign_token(expired_payload, _TOKEN_SECRET)
     return d.select(
         "doc_id",
         token.alias("token"),
         verify_token(token, _TOKEN_SECRET).alias("valid"),
         verify_token(F.concat(token, F.lit("x")), _TOKEN_SECRET).alias(
             "tampered_valid"
+        ),
+        validate_token(token, _TOKEN_SECRET, _TOKEN_NOW).alias("valid_now"),
+        validate_token(expired_token, _TOKEN_SECRET, _TOKEN_NOW).alias(
+            "expired_valid"
         ),
     )
 
@@ -1410,7 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         # here; the expected tokens come from python's stdlib hmac — an
         # INDEPENDENT reference implementation of the same algorithm
         "hmac_tokens": f"""
-            select doc_id, token, valid, tampered_valid
+            select doc_id, token, valid, tampered_valid,
+                   valid_now, expired_valid
             from read_parquet('{_FIXDIR}/hmac_tokens.parquet')
         """,
         "relevance": f"""

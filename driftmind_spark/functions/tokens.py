@@ -49,10 +49,42 @@ def sign_token(payload_json: Column, secret: bytes) -> Column:
 def verify_token(token: Column, secret: bytes) -> Column:
     """True iff the token's signature matches its payload (ordinal
     compare of the recomputed base64 signature,
-    DownloadService.cs:373-425).  Malformed tokens verify false."""
+    DownloadService.cs:373-425).  Malformed tokens verify false.
+
+    This is the SIGNATURE check only; the reference additionally rejects
+    expired tokens (DownloadService.cs:122) — use :func:`validate_token`
+    for the full accept/reject decision.
+
+    ``try_to_binary`` (not ``unbase64``) decodes the payload: under
+    Spark 4 ANSI mode ``unbase64`` THROWS on a malformed token, which
+    would let one garbage token kill a whole scan — a non-base64 payload
+    must instead decode to NULL and verify false."""
     parts = F.split(token, r"\.")
-    payload = F.unbase64(F.element_at(parts, 1))
+    payload = F.try_to_binary(F.element_at(parts, 1), F.lit("base64"))
     expected = F.base64(hmac_sha256(payload, secret))
-    return (
-        (F.size(parts) == 2) & (F.element_at(parts, 2) == expected)
+    return F.coalesce(
+        (F.size(parts) == 2) & (F.element_at(parts, 2) == expected),
+        F.lit(False),
     ).alias("valid")
+
+
+def validate_token(token: Column, secret: bytes, now_epoch: Column | int) -> Column:
+    """Full token validation: signature match AND not expired — the
+    reference's accept path (``DownloadService.cs:122``:
+    ``DateTime.UtcNow > tokenData.ExpiresAt`` rejects).  The payload's
+    ``exp`` field is unix seconds; a token with no parsable ``exp`` is
+    rejected (fail closed), matching the reference's deserialization
+    guard.  ``now_epoch`` is caller-supplied (pass a literal for
+    deterministic/oracle-checked plans; ``F.unix_timestamp()`` in
+    production)."""
+    parts = F.split(token, r"\.")
+    payload = F.try_to_binary(F.element_at(parts, 1), F.lit("base64")).cast(
+        "string"
+    )
+    # try_cast: a non-numeric exp value must fail validation, not throw
+    # the whole scan under ANSI
+    exp = F.get_json_object(payload, "$.exp").try_cast("long")
+    now = F.lit(now_epoch) if isinstance(now_epoch, int) else now_epoch
+    return F.coalesce(
+        verify_token(token, secret) & (exp >= now), F.lit(False)
+    ).alias("valid_now")

@@ -274,13 +274,28 @@ def _minhash_signatures(
 
         def _mix(acc, h):
             rot = F.shiftleft(acc, 5).bitwiseOR(F.shiftrightunsigned(acc, 59))
-            return rot.bitwiseXOR(h)
+            # coalesce: a doc with fewer than shingle_k words pads the
+            # shorter zip_with slice with NULLs, which would otherwise
+            # null the whole fold and leave the doc signature-less
+            # (invisible to near-dup detection, covered only by exact
+            # md5 dedup) — XOR-with-0 degrades to a fold of the words
+            # that exist, so EVERY doc gets a valid gram.
+            return rot.bitwiseXOR(F.coalesce(h, F.lit(0)))
 
         for j in range(1, shingle_k):
             g = F.zip_with(g, F.slice("wh", j + 1, length), _mix)
         sh = (
-            words.select("doc_id", F.explode(g).alias("h"))
-            .filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+            words.select(
+                "doc_id", F.posexplode(g).alias("pos", "h")
+            )
+            # Broder mod-sample, but the FIRST gram is always kept: with
+            # pure 1/sample_mod sampling a short doc can lose every gram
+            # (P = (1-1/m)^n_grams) and drop out of the signature table
+            # entirely.  One guaranteed gram bounds that failure mode at
+            # zero for a negligible bias in the min-estimate.
+            .filter(
+                (F.pmod(F.col("h"), F.lit(sample_mod)) == 0) | (F.col("pos") == 0)
+            )
             .select("doc_id", F.pmod(F.col("h"), F.lit(_MINHASH_P)).alias("x"))
         )
         return sh.groupBy("doc_id").agg(
@@ -389,8 +404,11 @@ def minhash_hot_band_stats(
     (band_idx, band_hash) buckets ``minhash_lsh_pairs_sql`` /
     ``minhash_lsh_verified_pairs`` dropped, with their sizes.  Pass the
     SAME num_perm/bands/portable/sample_mod as the pair call to observe
-    its exact buckets (e.g. ``num_perm=64, bands=8, portable=False`` for
-    the corpus_dedup fast path)."""
+    its exact buckets — for a ``corpus_dedup`` run use
+    ``minhash_hot_band_stats(docs, **corpus_dedup_params(<same
+    overrides>))`` so the two resolve from one source of truth (the
+    defaults here match the PORTABLE oracle query, NOT corpus_dedup's
+    production path)."""
     melted = _melt_bands(
         _minhash_signatures(docs, text_col, num_perm, shingle_k,
                             portable=portable, sample_mod=sample_mod),
@@ -788,18 +806,51 @@ def minhash_lsh_verified_pairs(
     )
 
 
+CORPUS_DEDUP_SIG_DEFAULTS: dict = {
+    "num_perm": 64,
+    "bands": 8,
+    "shingle_k": 5,
+    "max_bucket_size": 256,
+    "portable": False,
+    "sample_mod": 4,
+}
+
+
+def corpus_dedup_params(**overrides) -> dict:
+    """The signature/banding parameters a ``corpus_dedup`` call resolves
+    to — the single source of truth shared by the pair path and the
+    observability path.  Call ``minhash_hot_band_stats(docs,
+    **corpus_dedup_params(<same overrides>))`` and the observed buckets
+    provably match the buckets the production pair run capped on.
+    (Without this, the stats call's ``portable=True`` default silently
+    reported buckets for a DIFFERENT signature construction than
+    corpus_dedup's ``portable=False`` production path.)"""
+    unknown = set(overrides) - set(CORPUS_DEDUP_SIG_DEFAULTS)
+    if unknown:
+        raise TypeError(
+            f"unknown corpus_dedup signature params: {sorted(unknown)}"
+        )
+    params = {
+        **CORPUS_DEDUP_SIG_DEFAULTS,
+        **{k: v for k, v in overrides.items() if v is not None},
+    }
+    if params["max_bucket_size"] == 0:
+        params["max_bucket_size"] = None  # 0 = disable the hot-bucket cap
+    return params
+
+
 def corpus_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 8,
-    shingle_k: int = 5,
-    max_bucket_size: int | None = 256,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
+    max_bucket_size: int | None = None,
     min_agreement: float = 0.9,
     small_graph_threshold: int = 200_000,
-    portable: bool = False,
-    sample_mod: int = 4,
+    portable: bool | None = None,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Full corpus-level dedup resolution — the composition a
     training-data pipeline runs before it embeds or extracts anything:
@@ -826,8 +877,22 @@ def corpus_dedup(
     banding/verification touch representatives only; the doc→rep→keeper
     mapping joins narrow (id, hash) rows.  md5(text) collision odds are
     ~2^-64 at 10^12 docs — acceptable for dedup (a collision merges two
-    unrelated docs, it cannot lose data silently)."""
-    ids = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    unrelated docs, it cannot lose data silently).
+
+    NULL text is treated as empty: ``md5(NULL)`` is NULL and every inner
+    join here is on the text hash, so without the coalesce a null-text
+    doc would silently vanish from the output (neither keeper nor
+    duplicate) — a caller rebuilding the corpus from ``filter(is_keeper)``
+    would lose it without any error."""
+    sig_params = corpus_dedup_params(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size, portable=portable,
+        sample_mod=sample_mod,
+    )
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    )
     groups = ids.groupBy(F.md5("text").alias("text_md5")).agg(
         F.min("doc_id").alias("rep_id"),
         # min_by partial-aggregates map-side, so the shuffle carries one
@@ -836,14 +901,7 @@ def corpus_dedup(
     )
     reps = groups.select(F.col("rep_id").alias("doc_id"), "text")
     pairs = minhash_lsh_verified_pairs(
-        reps,
-        num_perm=num_perm,
-        bands=bands,
-        shingle_k=shingle_k,
-        max_bucket_size=max_bucket_size,
-        min_agreement=min_agreement,
-        portable=portable,
-        sample_mod=sample_mod,
+        reps, min_agreement=min_agreement, **sig_params,
     )
     rep_res = dedup_resolution(
         reps.select("doc_id"), pairs, small_graph_threshold=small_graph_threshold

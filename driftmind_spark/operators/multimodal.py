@@ -99,8 +99,17 @@ def _sniff_format(data: bytes) -> str | None:
         return "mp4"
     if data[:3] == b"ID3":
         return "mp3"
-    if len(data) >= 4 and _mp3_frame(data, 0) is not None:
-        return "mp3"  # bare frame-sync stream (conservative header check)
+    if len(data) >= 4:
+        frame = _mp3_frame(data, 0)
+        if frame is not None:
+            # One plausible header is weak evidence — arbitrary binary hits
+            # the 0xFF 0xEx sync + valid bitrate/rate bits surprisingly
+            # often.  Require a SECOND consecutive valid frame (jump by the
+            # first frame's size and re-check the sync), or a stream that
+            # is exactly one complete frame.
+            size = frame[0]
+            if size == len(data) or _mp3_frame(data, size) is not None:
+                return "mp3"
     return None
 
 

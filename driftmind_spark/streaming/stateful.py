@@ -111,7 +111,10 @@ def new_versions_batch(pages: DataFrame) -> DataFrame:
 # Streaming near-duplicate gate (round 5): incremental MinHash-LSH dedup.
 # ---------------------------------------------------------------------------
 
-DUP_OUT_SCHEMA = "url string, warc_ts timestamp, band_idx int, dup_of string, agreement int"
+DUP_OUT_SCHEMA = (
+    "url string, warc_ts timestamp, band_idx int, dup_of string, "
+    "agreement int, saturated boolean"
+)
 DUP_STATE_SCHEMA = "reps binary, latest long"
 
 
@@ -154,9 +157,20 @@ def _fold_bucket(rows, reps, min_slots: int, max_reps: int):
     ``rows`` is (url, warc_ts, sig_list) in event order; ``reps`` the
     bucket's representative list [(url, sig_list)].  A row whose
     signature agrees with a representative on >= min_slots slots is a
-    near-dup (emitted, NOT added to reps — keeper semantics); otherwise
-    it becomes a representative while the bucket has capacity.  Returns
-    (dup_rows, reps)."""
+    near-dup (emitted with ``saturated=False``, NOT added to reps —
+    keeper semantics); otherwise it becomes a representative while the
+    bucket has capacity.  A distinct row arriving at a FULL bucket is
+    emitted as ``(url, ts, None, 0, saturated=True)`` — the saturation
+    signal: its later duplicates will pass this band undetected, so
+    operators watching the output can raise bands/max_reps instead of
+    silently losing recall (the streaming analog of the batch
+    hot-band-stats frame).  Returns (out_rows, reps) with out_rows =
+    (url, ts, dup_of, agreement, saturated).
+
+    NOTE: the per-row Python loop is structurally forced — this is a
+    per-key ORDERED state machine (earlier-seen-wins rep election)
+    inside applyInPandasWithState; do not vectorize it into an
+    unordered form."""
     out = []
     for url, ts, sig in rows:
         hit = None
@@ -166,9 +180,11 @@ def _fold_bucket(rows, reps, min_slots: int, max_reps: int):
                 hit = (rep_url, agree)
                 break
         if hit is not None:
-            out.append((url, ts, hit[0], hit[1]))
+            out.append((url, ts, hit[0], hit[1], False))
         elif len(reps) < max_reps:
             reps.append((url, list(sig)))
+        else:
+            out.append((url, ts, None, 0, True))
     return out, reps
 
 
@@ -206,8 +222,9 @@ def _near_dup_fn(num_perm: int, min_agreement: float, max_reps: int,
             state.setTimeoutTimestamp(latest // 1000 + ttl_seconds * 1000)
         if dups:
             yield pd.DataFrame(
-                [(u, t, band_idx, d, a) for (u, t, d, a) in dups],
-                columns=["url", "warc_ts", "band_idx", "dup_of", "agreement"],
+                [(u, t, band_idx, d, a, s) for (u, t, d, a, s) in dups],
+                columns=["url", "warc_ts", "band_idx", "dup_of",
+                         "agreement", "saturated"],
             )
 
     return fn
@@ -230,9 +247,15 @@ def stream_near_dups(
     band bucket, persistent state holds up to ``max_reps``
     representative signatures; an arriving page whose MinHash agrees
     with a representative on >= ``min_agreement`` of ``num_perm`` slots
-    is flagged ``(url, band_idx, dup_of, agreement)``.  A url is a
-    near-dup iff ANY band flags it (aggregate downstream — the verdict
-    rows are per-band so the stream stays single-stateful-operator).
+    is flagged ``(url, band_idx, dup_of, agreement, saturated=False)``.
+    A url is a near-dup iff ANY band flags it with a non-null ``dup_of``
+    (aggregate downstream — the verdict rows are per-band so the stream
+    stays single-stateful-operator).  A distinct url that arrives at a
+    FULL bucket is emitted with ``saturated=True`` (null ``dup_of``):
+    the bucket can no longer gain representatives, so that url's future
+    duplicates pass this band undetected — monitor
+    ``filter(saturated)`` counts and raise ``bands``/``max_reps`` when
+    they grow (the streaming analog of ``minhash_hot_band_stats``).
 
     State is bounded three ways: reps per bucket capped (keeper
     semantics — dups are never added), the stream is watermarked, and
@@ -288,8 +311,9 @@ def near_dup_flags_batch(
                 zip(pdf["url"], pdf["warc_ts"], pdf["sig"])]
         dups, _ = _fold_bucket(rows, [], min_slots, max_reps)
         return pd.DataFrame(
-            [(u, t, band_idx, d, a) for (u, t, d, a) in dups],
-            columns=["url", "warc_ts", "band_idx", "dup_of", "agreement"],
+            [(u, t, band_idx, d, a, s) for (u, t, d, a, s) in dups],
+            columns=["url", "warc_ts", "band_idx", "dup_of",
+                     "agreement", "saturated"],
         )
 
     return (

@@ -402,21 +402,35 @@ def fixture_hmac_tokens(docs: pa.Table) -> pa.Table:
     import hashlib
     import hmac
 
+    import json
+
     secret = b"driftmind-demo-secret"
-    ids, tokens = [], []
-    for did in docs.column("doc_id").to_pylist():
-        payload = f'{{"doc_id":{did},"exp":1767225600}}'.encode()
+    now = 1755000000  # the query's fixed validation instant (_TOKEN_NOW)
+
+    def _sign(payload: bytes) -> str:
         sig = base64.b64encode(
             hmac.new(secret, payload, hashlib.sha256).digest()
         ).decode()
+        return base64.b64encode(payload).decode() + "." + sig
+
+    ids, tokens, valid_now, expired_valid = [], [], [], []
+    for did in docs.column("doc_id").to_pylist():
+        fresh = f'{{"doc_id":{did},"exp":1767225600}}'.encode()
+        stale = f'{{"doc_id":{did},"exp":946684800}}'.encode()
         ids.append(did)
-        tokens.append(base64.b64encode(payload).decode() + "." + sig)
+        tokens.append(_sign(fresh))
+        # full validation = signature ok AND exp >= now (the expiry rule
+        # of DownloadService.cs:122), computed here from the payload json
+        valid_now.append(json.loads(fresh)["exp"] >= now)
+        expired_valid.append(json.loads(stale)["exp"] >= now)
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
             "token": pa.array(tokens, pa.string()),
             "valid": pa.array([True] * len(ids), pa.bool_()),
             "tampered_valid": pa.array([False] * len(ids), pa.bool_()),
+            "valid_now": pa.array(valid_now, pa.bool_()),
+            "expired_valid": pa.array(expired_valid, pa.bool_()),
         }
     )
 

@@ -710,3 +710,78 @@ def test_dedup_resolution_string_ids(spark):
     assert got["m0"] == ("m0", True, 3)
     assert got["m3"] == ("m3", True, 1)
     assert got["m5"] == ("m4", False, 2)
+
+
+def test_corpus_dedup_null_text_not_dropped(spark):
+    """Round-6 advice fix: NULL text coalesces to '' — null-text docs
+    must appear in the output (previously md5(NULL)=NULL made every
+    inner join miss them and they vanished: neither keeper nor dup)."""
+    docs = spark.createDataFrame(
+        [("n1", None), ("n2", None), ("e1", ""), ("t1", "real content here")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dd.corpus_dedup(docs).collect()}
+    assert set(got) == {"n1", "n2", "e1", "t1"}, "null-text docs dropped"
+    # NULL == '' after coalesce: {n1, n2, e1} are exact copies, keeper e1
+    assert got["e1"]["is_keeper"] and got["e1"]["cluster_size"] == 3
+    assert got["n1"]["keeper_id"] == "e1" and not got["n1"]["is_keeper"]
+    assert got["t1"]["is_keeper"] and got["t1"]["cluster_size"] == 1
+
+
+def test_short_docs_get_signatures(spark):
+    """Round-6 advice fix: docs with fewer than shingle_k words (null
+    zip_with padding) and docs whose few grams all missed the 1/mod
+    sample used to be signature-less — invisible to near-dup detection.
+    Now every doc gets >= 1 gram (null-fold coalesce + first-gram-always
+    sampling), so every doc has a full signature row."""
+    from driftmind_spark.operators.dedup import _minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three tiny words"),
+         (4, "exactly four word doc"),
+         (5, "a full five word document now present")],
+        "doc_id long, text string",
+    )
+    sig = _minhash_signatures(docs, "text", 8, 5, portable=False,
+                              sample_mod=4)
+    rows = sig.collect()
+    assert len(rows) == 5, f"missing signatures: {sorted(r[0] for r in rows)}"
+    assert all(r[f"s{i}"] is not None for r in rows for i in range(8))
+    # and identical short texts still agree slot-for-slot
+    twins = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "tiny doc")], "doc_id long, text string"
+    )
+    t = {r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+         for r in _minhash_signatures(
+             twins, "text", 8, 5, portable=False).collect()}
+    assert t[10] == t[11]
+
+
+def test_corpus_dedup_params_shared_with_stats(spark):
+    """Round-6 advice fix: the observability call must see the SAME
+    signature construction as the production pair run —
+    corpus_dedup_params is the single source of truth for both."""
+    from driftmind_spark.operators.dedup import (
+        CORPUS_DEDUP_SIG_DEFAULTS,
+        corpus_dedup_params,
+        minhash_hot_band_stats,
+    )
+
+    p = corpus_dedup_params()
+    assert p == CORPUS_DEDUP_SIG_DEFAULTS
+    assert p["portable"] is False, "defaults must match the production path"
+    assert corpus_dedup_params(num_perm=16)["num_perm"] == 16
+    assert corpus_dedup_params(max_bucket_size=0)["max_bucket_size"] is None
+    with pytest.raises(TypeError, match="min_agreement"):
+        corpus_dedup_params(min_agreement=0.8)  # not a signature param
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words in it plus token{i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    # stats call with the resolved params runs against the production
+    # (portable=False) construction without error
+    stats = minhash_hot_band_stats(docs, **corpus_dedup_params())
+    assert stats.columns == ["band_idx", "band_hash", "bucket_size"]
+    assert stats.count() == 0  # 6 distinct docs saturate no bucket

@@ -284,7 +284,9 @@ def test_stream_near_dups_flags_planted_clones(spark, tmp_path_factory):
         read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
     )
     q.awaitTermination(300)
-    flagged = spark.read.parquet(out)
+    # dup verdicts carry a non-null dup_of; saturated=True rows are the
+    # bucket-full observability signal, not dup flags
+    flagged = spark.read.parquet(out).filter("dup_of is not null")
     flagged_urls = {r["url"] for r in flagged.select("url").distinct().collect()}
 
     # every VERBATIM clone (identical text => identical signature,
@@ -311,8 +313,10 @@ def test_stream_near_dups_flags_planted_clones(spark, tmp_path_factory):
 
     # differential: stream == batch analog (same fold, same order)
     batch = near_dup_flags_batch(spark.read.parquet(d))
-    s_rows = flagged.select("url", "band_idx", "dup_of", "agreement")
-    b_rows = batch.select("url", "band_idx", "dup_of", "agreement")
+    s_rows = flagged.select("url", "band_idx", "dup_of", "agreement", "saturated")
+    b_rows = batch.filter("dup_of is not null").select(
+        "url", "band_idx", "dup_of", "agreement", "saturated"
+    )
     assert s_rows.count() == b_rows.count()
     assert s_rows.exceptAll(b_rows).count() == 0
 
@@ -340,7 +344,13 @@ def test_fold_bucket_invariants():
         assert len(reps) <= max_reps
         seen = set()
         rep_urls = {r[0] for r in reps}
-        for url, ts, dup_of, agree in dups:
+        for url, ts, dup_of, agree, saturated in dups:
+            if saturated:
+                # bucket-full signal: only possible once reps hit the cap,
+                # and it must NOT carry a dup verdict
+                assert len(reps) == max_reps
+                assert dup_of is None and agree == 0
+                continue
             assert agree >= min_slots
             assert dup_of in rep_urls
             assert dup_of < url  # min-first ordering: rep is earlier
@@ -1529,3 +1539,42 @@ def test_wav_ima_adpcm_matches_audioop():
     got2, _ = decode_wav_samples(wav(2, ba2, spb2, payload2))
     assert got2[:, 0].tolist() == exp_ch[0]
     assert got2[:, 1].tolist() == exp_ch[1]
+
+
+def test_sniff_mp3_requires_second_frame():
+    """Round-6 advice fix: one plausible MPEG header is weak evidence —
+    arbitrary binary can hit the sync+bitrate bits.  Sniffing 'mp3' for
+    a bare stream now requires a second consecutive valid frame (or a
+    stream that is exactly one complete frame)."""
+    from driftmind_spark.operators.multimodal import _sniff_format
+
+    # plausible lone header followed by garbage: NOT mp3 anymore
+    fake = b"\xff\xe2\x10\x00" + bytes(range(200))
+    assert _sniff_format(fake) is None
+
+    # real two-frame stream: still mp3
+    frame, _ = _mp3_frame_bytes(3, 1, 9, 0, False, 128000, 44100, 3, True)
+    assert _sniff_format(frame * 2) == "mp3"
+    # exactly one complete frame: accepted (size == len)
+    assert _sniff_format(frame) == "mp3"
+    # one frame + trailing garbage shorter than a header: rejected
+    assert _sniff_format(frame + b"\x00\x01") is None
+
+
+def test_fold_bucket_emits_saturation_signal():
+    """Round-6 advice fix: a full bucket must SAY so — a distinct doc
+    arriving at capacity is emitted (dup_of=None, saturated=True)
+    instead of silently never becoming a representative."""
+    from driftmind_spark.streaming.stateful import _fold_bucket
+
+    # four mutually-distinct signatures, capacity 2
+    rows = [(f"u{i}", i, [i * 4 + j for j in range(4)]) for i in range(4)]
+    out, reps = _fold_bucket(rows, [], min_slots=4, max_reps=2)
+    assert [r[0] for r in reps] == ["u0", "u1"]
+    assert out == [("u2", 2, None, 0, True), ("u3", 3, None, 0, True)]
+
+    # a dup of a rep is still flagged normally even when saturated
+    dup_rows = [("u9", 9, [0, 1, 2, 3])]  # == u0's signature
+    out2, reps2 = _fold_bucket(dup_rows, reps, min_slots=4, max_reps=2)
+    assert out2 == [("u9", 9, "u0", 4, False)]
+    assert reps2 == reps
