@@ -92,10 +92,32 @@ def run(
     use_text_column: bool = False,
     fail_after_stage: str | None = None,
     salt: int = 8,
+    quality: bool = False,
+    quality_opts: dict | None = None,
     dedup: bool = False,
     dedup_opts: dict | None = None,
+    chunk_dedup: bool = False,
+    chunk_dedup_opts: dict | None = None,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns stage metrics.
+
+    ``quality=True`` inserts a quality/language gate between extract and
+    dedup — the step a crawl pipeline runs BEFORE spending dedup/embed
+    compute (operators/quality.py): pure column-expression thresholds
+    over the oracle-checked ``quality_scores``/``lang_id`` features.
+    Kept docs land in ``extracted_quality`` (bucketed; the filter is
+    row-narrow so the write keeps the aligned shuffle-free path);
+    rejected docs with their features and ``reject_reasons`` become the
+    ``quality_audit`` table.  ``quality_opts`` passes through to
+    ``quality_filter`` (min_chars/min_tokens/langs/...).
+
+    ``chunk_dedup=True`` adds passage-level dedup AFTER the chunks
+    stage (operators/passages.py — the Lee-et-al intra-document layer):
+    chunk rows whose normalized content repeats corpus-wide keep only
+    their first occurrence.  Kept rows land in ``chunks_dedup``;
+    dropped rows (narrow: ids + fingerprint + keeper) become
+    ``chunk_dedup_audit``.  Chunk boundaries stay byte-exact — dedup
+    only FILTERS rows, so the parity contract is untouched.
 
     ``dedup=True`` inserts a corpus-level near-duplicate dedup stage
     between extract and chunk — the step a training-data pipeline runs
@@ -149,6 +171,48 @@ def run(
     _mark("extract")
     if fail_after_stage == "extract":
         raise StageKill("injected failure after stage: extract")
+
+    # ---- stage 0.3 (optional): quality/language gate (global) ---------------
+    # Before dedup: the gate is a pure column-expression filter (no UDF, no
+    # shuffle on the verdict), so running it first prunes the dedup stage's
+    # signature work too.  The kept write is pre_clustered — a row-narrow
+    # filter of the bucket-partitioned extracted table keeps its physical
+    # grouping (a parquet split never crosses partition dirs), so no shuffle.
+    if quality:
+        quality_path = os.path.join(out_dir, "extracted_quality")
+        qaudit_path = os.path.join(out_dir, "quality_audit")
+        if not ln.stage_marker_done(spark, out_dir, run_id, "quality"):
+            from ..operators.quality import quality_filter
+
+            judged = quality_filter(extracted, **(quality_opts or {}))
+            audit = judged.filter(~F.col("keep")).select(
+                "url", "bucket", "n_chars", "n_tokens", "punct_ratio",
+                "stop_ratio", "chars_per_token", "lang_guess",
+                "reject_reasons",
+            )
+            _write_bucketed(audit, qaudit_path, pre_clustered=True)
+            kept = judged.filter(F.col("keep")).select(*extracted.columns)
+            _write_bucketed(kept, quality_path, pre_clustered=True)
+            n_kept, n_dropped = (
+                spark.read.parquet(quality_path).count(),
+                spark.read.parquet(qaudit_path).count(),
+            )
+            # dropped first: the 'quality' row is the stage-done marker and
+            # must be the LAST commit (same ordering rule as nodes/dedup)
+            ln.commit_global_stage(
+                spark, out_dir, run_id, "quality_dropped", n_dropped
+            )
+            ln.commit_global_stage(spark, out_dir, run_id, "quality", n_kept)
+        extracted = spark.read.parquet(quality_path)
+        metrics["quality_kept"] = ln.committed_row_count(
+            spark, out_dir, run_id, "quality"
+        )
+        metrics["quality_dropped"] = ln.committed_row_count(
+            spark, out_dir, run_id, "quality_dropped"
+        )
+        _mark("quality")
+        if fail_after_stage == "quality":
+            raise StageKill("injected failure after stage: quality")
 
     # ---- stage 0.5 (optional): corpus-level near-dup dedup (global) ---------
     # Global like the nodes stage: LSH candidate pairs span url buckets, so
@@ -228,6 +292,51 @@ def run(
     _mark("chunks")
     if fail_after_stage == "chunks":
         raise StageKill("injected failure after stage: chunks")
+
+    # ---- stage 1.5 (optional): passage-level chunk dedup (global) -----------
+    # Global like the dedup stage: fingerprints repeat ACROSS url buckets, so
+    # bucket-level resume can't apply; the keeper election is deterministic
+    # (md5 fingerprint, min-(url,chunk_index) keeper), so a killed run
+    # re-derives identical tables under dynamic partition overwrite.
+    if chunk_dedup:
+        cdedup_path = os.path.join(out_dir, "chunks_dedup")
+        cdaudit_path = os.path.join(out_dir, "chunk_dedup_audit")
+        if not ln.stage_marker_done(spark, out_dir, run_id, "chunk_dedup"):
+            from ..operators.passages import chunk_dedup as _chunk_dedup
+
+            chunks_all = spark.read.parquet(chunks_path)
+            res = _chunk_dedup(chunks_all, **(chunk_dedup_opts or {}))
+            # audit is NARROW (ids + fingerprint + keeper): the dropped
+            # text is recoverable via the keeper row, so at 100 TB the
+            # audit table costs ids, not content
+            audit = res.filter(~F.col("is_kept")).select(
+                "url", "chunk_index", "bucket", "fingerprint",
+                "n_occurrences", "keeper_doc", "keeper_idx",
+            )
+            _write_bucketed(audit, cdaudit_path)
+            # the keeper join shuffled rows by fingerprint, so the kept
+            # write re-clusters by bucket (no pre_clustered shortcut here)
+            kept = res.filter(F.col("is_kept")).select(*chunks_all.columns)
+            _write_bucketed(kept, cdedup_path)
+            n_kept, n_dropped = (
+                spark.read.parquet(cdedup_path).count(),
+                spark.read.parquet(cdaudit_path).count(),
+            )
+            ln.commit_global_stage(
+                spark, out_dir, run_id, "chunk_dedup_dropped", n_dropped
+            )
+            ln.commit_global_stage(
+                spark, out_dir, run_id, "chunk_dedup", n_kept
+            )
+        metrics["chunk_dedup_kept"] = ln.committed_row_count(
+            spark, out_dir, run_id, "chunk_dedup"
+        )
+        metrics["chunk_dedup_dropped"] = ln.committed_row_count(
+            spark, out_dir, run_id, "chunk_dedup_dropped"
+        )
+        _mark("chunk_dedup")
+        if fail_after_stage == "chunk_dedup":
+            raise StageKill("injected failure after stage: chunk_dedup")
 
     # ---- stage 2: triples (bucketed, resumable) -----------------------------
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "triples", n_buckets)

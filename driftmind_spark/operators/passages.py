@@ -1,0 +1,209 @@
+"""Passage/chunk-level deduplication — the intra-document layer of the
+training-data dedup stack (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", ACL 2022; C4's repeated-span rule).
+
+``corpus_dedup`` (operators/dedup.py) removes whole near-duplicate
+*documents*; this module removes *repeated passages inside
+otherwise-distinct documents* — boilerplate paragraphs, license blocks,
+navigation text that survives document-level dedup because the
+surrounding text differs.  No reference counterpart (DriftMind's closest
+analog is the embed-cache ``dropDuplicates(norm_text)``,
+Services/EmbeddingService.cs:33-58, which dedups embedding COMPUTE but
+never removes the repeated text from the corpus).
+
+Granularity note: the full Lee-et-al construction dedups arbitrary
+repeated *substrings* via a corpus-wide suffix array — inherently
+sequential/memory-resident and not expressible as a distributed
+dataflow.  The shape production Spark pipelines use instead (and what
+C4 shipped: exact dedup of three-sentence spans) is fingerprinting at a
+fixed granularity — paragraphs here, chunk rows in
+:func:`chunk_dedup` — which catches the boilerplate/license/nav mass
+with one hash-shuffle.
+
+Scale shape (100 TB): one shuffle groups fingerprints (count + min are
+partial-aggregated map-side, so a passage repeated 10^9 times arrives
+at its reducer as one row per map task, not 10^9 rows); the keeper
+dictionary is filtered to REPEATED fingerprints only before joining
+back, and the join is an equi-join AQE can split on skew.  No text
+moves in the dictionary — only (fingerprint, keeper id, count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "passage_table",
+    "passage_dedup",
+    "apply_passage_dedup",
+    "chunk_dedup",
+]
+
+_PARA_SPLIT = r"\n{2,}"
+
+
+def _norm(col: F.Column) -> F.Column:
+    """Whitespace-normalized lowercase — the same normalization as
+    ``textstats.fingerprints`` so passage and document fingerprints are
+    one family."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def passage_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode documents into ordered passages (paragraph granularity:
+    blank-line split, matching the synthesizer's and the chunker's
+    paragraph model): ``(doc_id, passage_idx, passage, fingerprint)``
+    with ``fingerprint = md5(whitespace-normalized lowercase text)``.
+
+    All JVM-side (split/posexplode/md5 — whole-stage codegen); an empty
+    document yields exactly one empty passage so no doc vanishes."""
+    paras = F.split(F.col(text_col), _PARA_SPLIT)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(paras).alias("passage_idx", "passage"),
+    ).withColumn("fingerprint", F.md5(_norm(F.col("passage"))))
+
+
+def passage_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Resolve repeated passages across the corpus to a first-occurrence
+    keeper: ``(doc_id, passage_idx, passage, fingerprint, n_occurrences,
+    n_docs, keeper_doc_id, keeper_passage_idx, is_kept)``.
+
+    A passage is *eligible* when its normalized length is >=
+    ``min_chars`` (short passages — headings, "Introduction", single
+    common sentences — are legitimate repeated text, the Lee-et-al
+    50-token floor rescaled to chars); an eligible passage repeated >=
+    ``min_repeats`` times keeps only its first occurrence, where "first"
+    is the minimum ``(doc_id, passage_idx)`` pair — a total order, so
+    re-runs at any parallelism elect identical keepers (the same rule as
+    ``dedup_resolution``'s min-id keeper).  Ineligible or unrepeated
+    passages are always kept (``n_occurrences`` is reported for them
+    when known; keeper columns stay NULL).
+
+    ``filter(is_kept)`` is the deduplicated passage corpus; the full
+    frame is the audit trail (exactly the ``corpus_dedup`` contract one
+    level down)."""
+    p = passage_table(docs, id_col, text_col)
+    eligible = F.length(_norm(F.col("passage"))) >= min_chars
+    occ = (
+        p.filter(eligible)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.struct("doc_id", "passage_idx")).alias("keeper"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        # only REPEATED fingerprints enter the join dictionary — the
+        # unrepeated majority never shuffles a second time
+        .filter(F.col("n_occurrences") >= min_repeats)
+    )
+    j = p.join(occ, "fingerprint", "left")
+    first = (F.col("doc_id") == F.col("keeper.doc_id")) & (
+        F.col("passage_idx") == F.col("keeper.passage_idx")
+    )
+    return j.select(
+        "doc_id",
+        "passage_idx",
+        "passage",
+        "fingerprint",
+        "n_occurrences",
+        "n_docs",
+        F.col("keeper.doc_id").alias("keeper_doc_id"),
+        F.col("keeper.passage_idx").alias("keeper_passage_idx"),
+        (F.col("n_occurrences").isNull() | first).alias("is_kept"),
+    )
+
+
+def apply_passage_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Rebuild documents with repeated passages removed: ``(doc_id,
+    text)`` where ``text`` is the kept passages re-joined with the
+    paragraph separator.  Every input doc appears in the output — a doc
+    whose passages were ALL dropped comes back with empty text (callers
+    gate on length downstream; silently losing the row would corrupt
+    joins keyed on ``doc_id``).
+
+    The per-doc ``collect_list`` is bounded by document size (passages
+    of one doc), not corpus size — driver-safe and executor-safe."""
+    res = passage_dedup(docs, id_col, text_col, min_chars, min_repeats)
+    rebuilt = (
+        res.filter("is_kept")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("passage_idx", "passage"))
+                    ),
+                    lambda s: s.passage,
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
+def chunk_dedup(
+    chunks: DataFrame,
+    doc_col: str = "url",
+    idx_col: str = "chunk_index",
+    content_col: str = "content",
+    min_chars: int = 50,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """The same first-occurrence keeper election over an already-chunked
+    table (the pipeline's chunks stage output): input columns pass
+    through, plus ``(fingerprint, n_occurrences, keeper_doc, keeper_idx,
+    is_kept)``.  ``filter(is_kept)`` is the deduplicated chunks table —
+    what the pipeline's optional chunk-dedup stage writes.
+
+    Operating on chunk rows (rather than re-splitting text) keeps the
+    byte-parity chunking contract untouched: chunk boundaries are still
+    exactly the reference's, and dedup only FILTERS rows."""
+    norm_len = F.length(_norm(F.col(content_col)))
+    occ = (
+        chunks.filter(norm_len >= min_chars)
+        .groupBy(F.md5(_norm(F.col(content_col))).alias("fingerprint"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(doc_col).alias("doc"), F.col(idx_col).alias("idx")
+                )
+            ).alias("keeper"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_repeats)
+    )
+    with_fp = chunks.withColumn(
+        "fingerprint", F.md5(_norm(F.col(content_col)))
+    )
+    j = with_fp.join(occ, "fingerprint", "left")
+    first = (F.col(doc_col) == F.col("keeper.doc")) & (
+        F.col(idx_col) == F.col("keeper.idx")
+    )
+    return j.select(
+        *chunks.columns,
+        "fingerprint",
+        "n_occurrences",
+        F.col("keeper.doc").alias("keeper_doc"),
+        F.col("keeper.idx").alias("keeper_idx"),
+        (F.col("n_occurrences").isNull() | first).alias("is_kept"),
+    )

@@ -22,8 +22,10 @@ def _marker_hits(tokens, markers) -> F.Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram-free stopword-marker language ID (en/de/unknown)."""
+def lang_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The language-ID expressions as named columns — shared between the
+    :func:`lang_id` frame (oracle-checked) and the quality pipeline
+    stage (operators/quality.py), so both gate on the SAME guess."""
     toks = F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
     de = _marker_hits(toks, DE_MARKERS)
     en = _marker_hits(toks, EN_MARKERS)
@@ -32,17 +34,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(en > de, F.lit("en"))
         .otherwise(F.lit("unknown"))
     )
+    return {"de_hits": de, "en_hits": en, "lang_guess": guess}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free stopword-marker language ID (en/de/unknown)."""
+    cols = lang_cols(text_col)
     return docs.select(
-        "doc_id",
-        de.alias("de_hits"),
-        en.alias("en_hits"),
-        guess.alias("lang_guess"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / uppercase ratios — the standard
-    web-text quality features (C4/Gopher-style heuristics)."""
+def quality_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality-feature expressions as named columns — shared between
+    the :func:`quality_scores` frame (oracle-checked) and the quality
+    pipeline stage, so the stage's thresholds apply to the SAME
+    features the observability query reports."""
     text = F.col(text_col)
     n_chars = F.length(text)
     toks = F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda t: t != "")
@@ -50,13 +57,23 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
     stop_lit = F.array(*[F.lit(m) for m in (DE_MARKERS + EN_MARKERS)])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stop_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4),
+        "chars_per_token": F.round(
+            n_chars / F.greatest(n_tokens, F.lit(1)), 4
+        ),
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios — the standard
+    web-text quality features (C4/Gopher-style heuristics)."""
+    cols = quality_cols(text_col)
     return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
-        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
-        F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4).alias("chars_per_token"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 

@@ -158,9 +158,48 @@ _DUP_FLOOR = 24  # indices below this are never clones (and never sources of
                  # clones that are themselves clones — the walk terminates)
 
 
+def _is_planted_junk(page_idx: int, seed: int, junk_rate: float) -> bool:
+    """Deterministic per-index junk selection (independent RNG stream so
+    the normal-content draws are untouched when junk_rate == 0)."""
+    if junk_rate <= 0.0 or page_idx <= _DUP_FLOOR:
+        return False
+    jrng = random.Random(((seed + 4) << 33) ^ (page_idx * 0x2545F4914F6CDD1D))
+    return jrng.random() < junk_rate
+
+
+_JUNK_FRAGMENTS = ["Ok.", "More soon.", "Under construction.", "TODO."]
+
+
+def _junk_page_text(page_idx: int, seed: int) -> str:
+    """Deterministic low-quality text the quality gate must reject:
+    gibberish (no stopwords), a fragment (too short), or symbol noise
+    (punctuation-heavy) — the junk classes a real crawl contains."""
+    jrng = random.Random(((seed + 5) << 33) ^ (page_idx * 0x9E3779B97F4A7C15))
+    kind = jrng.choice(["gibberish", "fragment", "symbols"])
+    if kind == "fragment":
+        return jrng.choice(_JUNK_FRAGMENTS)
+    if kind == "symbols":
+        return " ".join(
+            jrng.choice(["!!!", "???", ";;;", ":::", "...", "!?!"])
+            for _ in range(jrng.randint(30, 60))
+        )
+    words = [
+        "".join(jrng.choice("bcdfghjklmnpqrstvwxz")
+                for _ in range(jrng.randint(4, 9)))
+        for _ in range(jrng.randint(40, 80))
+    ]
+    paras, i = [], 0
+    while i < len(words):
+        k = min(jrng.randint(10, 25), len(words) - i)
+        paras.append(" ".join(words[i:i + k]) + ".")
+        i += k
+    return "\n\n".join(paras)
+
+
 def generate_page(page_idx: int, seed: int = 42,
                   min_sent: int = 2, max_sent: int = 8,
-                  mixed_formats: bool = False, dup_rate: float = 0.0) -> dict:
+                  mixed_formats: bool = False, dup_rate: float = 0.0,
+                  junk_rate: float = 0.0) -> dict:
     """Generate one page + its expected triples, deterministically.
 
     ``mixed_formats=True`` makes a deterministic share of the corpus real
@@ -178,7 +217,29 @@ def generate_page(page_idx: int, seed: int = 42,
     near-dup) — wrapped in fresh boilerplate.  Selection and source
     choice are pure functions of (seed, page_idx), so distributed
     generation stays embarrassingly parallel; clone sources are always
-    non-clone HTML indices, so every planted pair exists in the corpus."""
+    non-clone HTML indices, so every planted pair exists in the corpus.
+
+    ``junk_rate`` (opt-in, default 0 keeps every existing corpus
+    byte-identical) plants LOW-QUALITY pages — gibberish with no
+    stopwords, sub-sentence fragments, punctuation noise — the classes
+    the quality gate (operators/quality.py) must reject.  Junk takes
+    precedence over clone selection, and clone sources skip junk
+    indices, so a planted clone pair is always real content."""
+    if _is_planted_junk(page_idx, seed, junk_rate):
+        jrng = random.Random(((seed + 6) << 33) ^ (page_idx * 0xC2B2AE3D27D4EB4F))
+        lang = "en"
+        text = _junk_page_text(page_idx, seed)
+        paras = text.split("\n\n")
+        url = f"https://host-{page_idx % 997}.example/{lang}/doc-{page_idx}.html"
+        payload = _render_html(jrng, url, lang, paras, page_idx).encode("utf-8")
+        return {
+            "url": url,
+            "warc_ts": _BASE_TS + _dt.timedelta(seconds=137 * page_idx),
+            "html": payload,
+            "text": text,
+            "lang": lang,
+            "triples": [],
+        }
     if _is_planted_clone(page_idx, seed, dup_rate):
         drng = random.Random(((seed + 2) << 33) ^ (page_idx * 0xC2B2AE3D27D4EB4F))
         src_idx = drng.randrange(_DUP_FLOOR, page_idx)
@@ -186,12 +247,14 @@ def generate_page(page_idx: int, seed: int = 42,
         # region never clones, and with mixed_formats 7 of 10 residues
         # are HTML)
         while (_is_planted_clone(src_idx, seed, dup_rate)
+               or _is_planted_junk(src_idx, seed, junk_rate)
                or (mixed_formats and src_idx % 10 in (3, 7, 9))
                or src_idx < len(EDGE_TEXTS)):
             src_idx -= 1
             if src_idx < len(EDGE_TEXTS):
                 src_idx = len(EDGE_TEXTS)
-                while mixed_formats and src_idx % 10 in (3, 7, 9):
+                while ((mixed_formats and src_idx % 10 in (3, 7, 9))
+                       or _is_planted_junk(src_idx, seed, junk_rate)):
                     src_idx += 1
                 break
         src = generate_page(src_idx, seed, min_sent, max_sent,
@@ -315,6 +378,7 @@ def generate_pages(
     n: int, seed: int = 42, start: int = 0,
     min_sent: int = 2, max_sent: int = 8,
     mixed_formats: bool = False, dup_rate: float = 0.0,
+    junk_rate: float = 0.0,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate ``n`` pages -> (pages table, expected_triples table).
 
@@ -327,7 +391,7 @@ def generate_pages(
                                               "subj_canon", "obj_canon")}
     for i in range(start, start + n):
         page = generate_page(i, seed, min_sent, max_sent, mixed_formats,
-                             dup_rate=dup_rate)
+                             dup_rate=dup_rate, junk_rate=junk_rate)
         for k in cols:
             cols[k].append(page[k])
         for (subj, pred, obj, sc, oc) in page["triples"]:
@@ -346,7 +410,7 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
                  batch_size: int = 100_000,
                  min_sent: int = 2, max_sent: int = 8,
                  mixed_formats: bool = False,
-                 dup_rate: float = 0.0) -> None:
+                 dup_rate: float = 0.0, junk_rate: float = 0.0) -> None:
     """Write ``pages.parquet``, ``expected_triples.parquet`` and
     ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
     scan)."""
@@ -360,7 +424,8 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
         pages, triples = generate_pages(cnt, seed=seed, start=start,
                                         min_sent=min_sent, max_sent=max_sent,
                                         mixed_formats=mixed_formats,
-                                        dup_rate=dup_rate)
+                                        dup_rate=dup_rate,
+                                        junk_rate=junk_rate)
         pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
         triples_writer.write_table(triples)
     pages_writer.close()
@@ -384,6 +449,9 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--dup-rate", type=float, default=0.0,
                     help="fraction of pages planted as near-duplicate clones")
+    ap.add_argument("--junk-rate", type=float, default=0.0,
+                    help="fraction of pages planted as low-quality junk")
     args = ap.parse_args()
-    write_corpus(args.out_dir, args.n, args.seed, dup_rate=args.dup_rate)
+    write_corpus(args.out_dir, args.n, args.seed, dup_rate=args.dup_rate,
+                 junk_rate=args.junk_rate)
     print(f"wrote {args.n} pages to {args.out_dir}")

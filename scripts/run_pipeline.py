@@ -7,7 +7,8 @@ Usage::
     python scripts/make_pyfiles_zip.py /tmp/driftmind_spark.zip
     spark-submit --master local[32] \
         --py-files /tmp/driftmind_spark.zip \
-        scripts/run_pipeline.py <corpus_dir> <out_dir> [run_id] [--dedup]
+        scripts/run_pipeline.py <corpus_dir> <out_dir> [run_id] \
+            [--quality] [--dedup] [--chunk-dedup]
 
 On a cluster, the same command with ``--master yarn``/``k8s`` and the
 executor sizing of your fleet; every config the pipeline relies on
@@ -22,8 +23,11 @@ from pyspark.sql import SparkSession
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--dedup"]
+    flags = {"--dedup", "--quality", "--chunk-dedup"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     dedup = "--dedup" in sys.argv[1:]
+    quality = "--quality" in sys.argv[1:]
+    chunk_dedup = "--chunk-dedup" in sys.argv[1:]
     corpus_dir = args[0]
     out_dir = args[1]
     run_id = args[2] if len(args) > 2 else "run-1"
@@ -50,7 +54,8 @@ def main() -> None:
         )
     from driftmind_spark.kg.pipeline import run
 
-    metrics = run(spark, corpus_dir, out_dir, run_id=run_id, dedup=dedup)
+    metrics = run(spark, corpus_dir, out_dir, run_id=run_id,
+                  quality=quality, dedup=dedup, chunk_dedup=chunk_dedup)
     print(json.dumps(metrics))
     spark.stop()
 

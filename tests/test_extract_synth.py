@@ -192,3 +192,46 @@ def test_decoys_punish_naive_extractor():
         # the stripped text never contains decoy markers
         assert "SpamCo" not in row.text
         assert "WerbungsGmbH" not in row.text
+
+
+def test_junk_pages_deterministic_and_parity():
+    """junk_rate plants deterministic low-quality pages whose html still
+    round-trips byte-exactly through the extractor (the corpus-wide
+    parity contract), junk_rate=0 stays byte-identical to old corpora,
+    and clone sources are never junk pages."""
+    from driftmind_spark.kernels.extract import extract_main_text
+    from driftmind_spark.synth import (
+        _is_planted_clone, _is_planted_junk, generate_page,
+    )
+
+    n, seed, rate = 300, 42, 0.15
+    junk_idx = [i for i in range(n) if _is_planted_junk(i, seed, rate)]
+    assert junk_idx, "rate 0.15 over 300 pages must plant junk"
+    for i in junk_idx[:10]:
+        p = generate_page(i, seed, junk_rate=rate)
+        assert extract_main_text(p["html"].decode("utf-8")) == p["text"]
+        assert p["triples"] == []
+        p2 = generate_page(i, seed, junk_rate=rate)
+        assert p2["html"] == p["html"] and p2["text"] == p["text"]
+
+    # independence: non-junk indices render byte-identically with the
+    # knob on or off
+    clean = [i for i in range(40) if not _is_planted_junk(i, seed, rate)]
+    for i in clean[:8]:
+        a = generate_page(i, seed, junk_rate=0.0)
+        b = generate_page(i, seed, junk_rate=rate)
+        assert a["html"] == b["html"] and a["text"] == b["text"]
+
+    # with both knobs on, a clone's source text is real content (never a
+    # junk page): planted clone pages must carry expected triples unless
+    # their source was an edge page
+    both = [i for i in range(2000)
+            if _is_planted_clone(i, seed, 0.3) and not _is_planted_junk(i, seed, rate)]
+    assert both, "need clone+junk coexistence to test the source walk"
+    for i in both[:10]:
+        p = generate_page(i, seed, dup_rate=0.3, junk_rate=rate)
+        words = set(p["text"].lower().split())
+        stop_hits = words & {"the", "and", "is", "of", "to", "der", "die", "und"}
+        assert p["triples"] or stop_hits, (
+            f"clone {i} looks like junk: source walk picked a junk index"
+        )

@@ -430,3 +430,169 @@ def test_aligned_write_no_file_fanout(pipeline_out):
         assert len(files) <= 4 * len(buckets), (
             f"{table}: {len(files)} files over {len(buckets)} buckets"
         )
+
+
+# ---- quality-gate stage (round 6) ------------------------------------------
+
+@pytest.fixture(scope="module")
+def junk_corpus(tmp_path_factory):
+    """400 pages with ~15% planted junk (gibberish / fragments / symbol
+    noise) the quality gate must reject."""
+    from driftmind_spark.synth import write_corpus
+
+    corpus = str(tmp_path_factory.mktemp("junk_corpus"))
+    write_corpus(corpus, n=400, junk_rate=0.15)
+    return corpus
+
+
+@pytest.fixture(scope="module")
+def quality_pipeline_out(spark, junk_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_quality_out"))
+    metrics = run(spark, junk_corpus, out, embedding_dim=32, n_buckets=8,
+                  quality=True)
+    return out, metrics
+
+
+def test_quality_stage_rejects_planted_junk(spark, junk_corpus,
+                                            quality_pipeline_out):
+    from driftmind_spark.synth import _is_planted_junk, generate_page
+
+    out, m = quality_pipeline_out
+    assert m["quality_kept"] + m["quality_dropped"] == m["extracted"]
+    assert m["quality_dropped"] > 0
+
+    junk_urls = {
+        generate_page(i, 42, junk_rate=0.15)["url"]
+        for i in range(400) if _is_planted_junk(i, 42, 0.15)
+    }
+    assert junk_urls, "fixture must actually plant junk"
+    kept = {r["url"] for r in
+            spark.read.parquet(f"{out}/extracted_quality")
+            .select("url").collect()}
+    # every planted junk page is rejected (recall = 1 on planted junk)
+    assert not (junk_urls & kept)
+    # and the gate is not a shredder: most real pages survive
+    assert m["quality_kept"] >= 0.5 * (400 - len(junk_urls))
+
+    audit = spark.read.parquet(f"{out}/quality_audit")
+    assert audit.count() == m["quality_dropped"]
+    # audit rows carry at least one reason, and junk urls are all there
+    assert audit.filter(F.size("reject_reasons") == 0).count() == 0
+    audited = {r["url"] for r in audit.select("url").collect()}
+    assert junk_urls <= audited
+
+    # downstream consumed the gated corpus only
+    chunk_urls = spark.read.parquet(f"{out}/chunks").select("url").distinct()
+    gated = spark.read.parquet(f"{out}/extracted_quality").select("url")
+    assert chunk_urls.join(gated, "url", "left_anti").count() == 0
+
+
+def test_quality_reason_counts(spark):
+    from driftmind_spark.operators.quality import (
+        quality_filter, quality_params, quality_reason_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [("u1", "Ok."),
+         ("u2", "the and is not a with for on of to " * 20),
+         ("u3", "!!! ??? ;;; " * 30)],
+        "url string, text string",
+    )
+    judged = quality_filter(docs)
+    got = {r["url"]: r for r in judged.collect()}
+    assert "too_short" in got["u1"]["reject_reasons"]
+    assert got["u2"]["keep"]
+    assert "high_punct_ratio" in got["u3"]["reject_reasons"]
+    counts = {r["reason"]: r["n"] for r in quality_reason_counts(judged).collect()}
+    assert counts["too_short"] >= 1 and counts["high_punct_ratio"] >= 1
+    with pytest.raises(TypeError, match="min_stopword"):
+        quality_params(min_stopword=1)
+
+
+def test_quality_kill_and_resume_identical(spark, junk_corpus,
+                                           tmp_path_factory):
+    out_killed = str(tmp_path_factory.mktemp("kg_quality_resume"))
+    out_full = str(tmp_path_factory.mktemp("kg_quality_full"))
+
+    with pytest.raises(StageKill):
+        run(spark, junk_corpus, out_killed, embedding_dim=32, n_buckets=8,
+            quality=True, fail_after_stage="quality")
+    lin = spark.read.parquet(f"{out_killed}/lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"extract", "quality", "quality_dropped"}
+    assert not os.path.exists(f"{out_killed}/chunks")
+
+    run(spark, junk_corpus, out_killed, embedding_dim=32, n_buckets=8,
+        quality=True)
+    run(spark, junk_corpus, out_full, embedding_dim=32, n_buckets=8,
+        quality=True)
+
+    for table, cols in [
+        ("extracted_quality", ["url", "text"]),
+        ("quality_audit", ["url", "lang_guess"]),
+        ("chunks", ["url", "chunk_index", "content"]),
+        ("edges", ["url", "subj_canonical", "pred", "obj_canonical"]),
+    ]:
+        fp_resumed = _table_fingerprint(spark, f"{out_killed}/{table}", cols)
+        fp_full = _table_fingerprint(spark, f"{out_full}/{table}", cols)
+        assert fp_resumed == fp_full, f"{table} differs after resume"
+
+
+# ---- passage-level chunk dedup stage (round 6) ------------------------------
+
+def test_chunk_dedup_stage(spark, dup_corpus, tmp_path_factory):
+    """chunk_dedup=True: repeated chunk content keeps only its first
+    occurrence; kept + dropped = chunks; audit is consistent; and the
+    kept table has no repeated eligible fingerprints."""
+    out = str(tmp_path_factory.mktemp("kg_cdedup_out"))
+    m = run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8,
+            chunk_dedup=True)
+    assert m["chunk_dedup_kept"] + m["chunk_dedup_dropped"] == m["chunks"]
+    # the dup corpus plants verbatim clones -> repeated chunks exist
+    assert m["chunk_dedup_dropped"] > 0
+
+    kept = spark.read.parquet(f"{out}/chunks_dedup")
+    assert kept.count() == m["chunk_dedup_kept"]
+    from driftmind_spark.operators.passages import chunk_dedup as cd
+    again = cd(kept.select("url", "chunk_index", "content"))
+    assert again.filter("not is_kept").count() == 0, "dedup not idempotent"
+
+    audit = spark.read.parquet(f"{out}/chunk_dedup_audit")
+    assert audit.count() == m["chunk_dedup_dropped"]
+    # every dropped chunk's keeper is present in the kept table
+    keeper_ids = audit.select(
+        F.col("keeper_doc").alias("url"), F.col("keeper_idx").alias("chunk_index")
+    ).distinct()
+    missing = keeper_ids.join(
+        kept.select("url", "chunk_index"), ["url", "chunk_index"], "left_anti"
+    )
+    assert missing.count() == 0
+
+
+def test_chunk_dedup_kill_and_resume_identical(spark, dup_corpus,
+                                               tmp_path_factory):
+    out_killed = str(tmp_path_factory.mktemp("kg_cdedup_resume"))
+    out_full = str(tmp_path_factory.mktemp("kg_cdedup_full"))
+
+    with pytest.raises(StageKill):
+        run(spark, dup_corpus, out_killed, embedding_dim=32, n_buckets=8,
+            chunk_dedup=True, fail_after_stage="chunk_dedup")
+    lin = spark.read.parquet(f"{out_killed}/lineage")
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages == {"extract", "chunks", "chunk_dedup",
+                      "chunk_dedup_dropped"}
+
+    run(spark, dup_corpus, out_killed, embedding_dim=32, n_buckets=8,
+        chunk_dedup=True)
+    run(spark, dup_corpus, out_full, embedding_dim=32, n_buckets=8,
+        chunk_dedup=True)
+
+    for table, cols in [
+        ("chunks_dedup", ["url", "chunk_index", "content"]),
+        ("chunk_dedup_audit",
+         ["url", "chunk_index", "fingerprint", "keeper_doc", "keeper_idx"]),
+        ("edges", ["url", "subj_canonical", "pred", "obj_canonical"]),
+    ]:
+        fp_resumed = _table_fingerprint(spark, f"{out_killed}/{table}", cols)
+        fp_full = _table_fingerprint(spark, f"{out_full}/{table}", cols)
+        assert fp_resumed == fp_full, f"{table} differs after resume"

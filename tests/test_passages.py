@@ -1,0 +1,177 @@
+"""Passage/chunk-level dedup (the Lee-et-al intra-document layer):
+keeper election, rebuild semantics, and a DuckDB oracle cross-check at
+sf0.01 (the registry sits AT the driver's 50-query cap, so this
+operator's oracle runs here with the same row/schema/multiset rigor as
+the driver gate instead of as a 51st registry entry)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from driftmind_spark.operators import passages as ps
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+BOILER = (
+    "This material is provided under the standard license terms and "
+    "may be redistributed freely provided this notice is preserved."
+)
+NAV = "Home News Sports Archive Contact About and further navigation text."
+
+
+def test_passage_dedup_first_occurrence_keeper(spark):
+    docs = _docs(spark, [
+        ("a", f"Unique opening for doc a.\n\n{BOILER}\n\nClosing thought a."),
+        ("b", f"{BOILER}\n\nEntirely different body for doc b."),
+        ("c", f"Doc c begins differently.\n\n{BOILER}"),
+    ])
+    res = ps.passage_dedup(docs, min_chars=50).collect()
+    by_key = {(r["doc_id"], r["passage_idx"]): r for r in res}
+    # the boilerplate passage: keeper = min (doc_id, passage_idx) = (a, 1)
+    assert by_key[("a", 1)]["is_kept"]
+    assert not by_key[("b", 0)]["is_kept"]
+    assert not by_key[("c", 1)]["is_kept"]
+    for k in [("a", 1), ("b", 0), ("c", 1)]:
+        assert by_key[k]["n_occurrences"] == 3
+        assert by_key[k]["n_docs"] == 3
+        assert by_key[k]["keeper_doc_id"] == "a"
+        assert by_key[k]["keeper_passage_idx"] == 1
+    # unique passages all kept, keeper columns NULL
+    for k in [("a", 0), ("a", 2), ("b", 1), ("c", 0)]:
+        assert by_key[k]["is_kept"]
+        assert by_key[k]["keeper_doc_id"] is None
+
+
+def test_passage_dedup_normalization_and_min_chars(spark):
+    shouty = BOILER.upper().replace(" ", "  ")  # case+whitespace variant
+    docs = _docs(spark, [
+        ("a", f"{BOILER}\n\nShort."),
+        ("b", f"  {shouty}\n\nShort."),
+    ])
+    res = {(r["doc_id"], r["passage_idx"]): r
+           for r in ps.passage_dedup(docs, min_chars=50).collect()}
+    # normalized variants share a fingerprint -> b's copy dropped
+    assert res[("a", 0)]["is_kept"] and not res[("b", 0)]["is_kept"]
+    # "Short." repeats but is under min_chars -> both kept (headings and
+    # short common sentences are legitimate repeated text)
+    assert res[("a", 1)]["is_kept"] and res[("b", 1)]["is_kept"]
+
+
+def test_apply_passage_dedup_rebuilds_and_keeps_empty_docs(spark):
+    docs = _docs(spark, [
+        ("a", f"Unique a text opener paragraph.\n\n{BOILER}"),
+        ("b", f"{BOILER}"),          # all passages dropped -> empty text
+        ("c", ""),                    # empty in, empty out
+    ])
+    got = {r["doc_id"]: r["text"]
+           for r in ps.apply_passage_dedup(docs, min_chars=50).collect()}
+    assert set(got) == {"a", "b", "c"}, "no doc may vanish"
+    assert got["a"] == f"Unique a text opener paragraph.\n\n{BOILER}"
+    assert got["b"] == ""
+    assert got["c"] == ""
+
+
+def test_chunk_dedup_filters_repeated_chunks(spark):
+    rows = [
+        ("u1", 0, "unique chunk content for url one, long enough to count."),
+        ("u1", 1, NAV),
+        ("u2", 0, NAV),
+        ("u2", 1, "another distinct body chunk that is long enough too."),
+        ("u3", 5, NAV),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "url string, chunk_index int, content string"
+    )
+    res = ps.chunk_dedup(chunks, min_chars=40)
+    assert res.columns[:3] == ["url", "chunk_index", "content"]
+    got = {(r["url"], r["chunk_index"]): r for r in res.collect()}
+    assert got[("u1", 1)]["is_kept"]          # first occurrence of NAV
+    assert not got[("u2", 0)]["is_kept"]
+    assert not got[("u3", 5)]["is_kept"]
+    assert got[("u2", 0)]["keeper_doc"] == "u1"
+    assert got[("u2", 0)]["keeper_idx"] == 1
+    assert got[("u1", 0)]["is_kept"] and got[("u2", 1)]["is_kept"]
+    kept = res.filter("is_kept")
+    assert kept.count() == 3
+    # idempotence: dedup of the kept set drops nothing
+    again = ps.chunk_dedup(
+        kept.select("url", "chunk_index", "content"), min_chars=40
+    )
+    assert again.filter("not is_kept").count() == 0
+
+
+@pytest.mark.parametrize("min_chars,min_repeats", [(50, 2), (20, 3)])
+def test_passage_dedup_matches_duckdb_oracle(spark, min_chars, min_repeats):
+    """Driver-gate-rigor oracle: the full resolution frame over the
+    sf0.01 documents table must match an independent DuckDB SQL
+    derivation row-for-row (count + order-insensitive multiset over all
+    columns)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    res = ps.passage_dedup(docs, min_chars=min_chars,
+                           min_repeats=min_repeats)
+    sdf = res.select(
+        "doc_id", "passage_idx", "fingerprint", "n_occurrences", "n_docs",
+        "keeper_doc_id", "keeper_passage_idx", "is_kept",
+    ).toPandas()
+
+    con = duckdb.connect()
+    ddf = con.execute(rf"""
+        with p as (
+            select cast(doc_id as varchar) as doc_id,
+                   cast(i - 1 as int) as passage_idx,
+                   arr[i] as passage,
+                   md5(regexp_replace(lower(trim(arr[i])), '\s+', ' ', 'g'))
+                       as fingerprint
+            from (select doc_id,
+                         regexp_split_to_array(text, '\n{{2,}}') as arr
+                  from read_parquet('{SF_DIR}/documents.parquet')),
+                 lateral (select unnest(generate_series(1, len(arr))) as i)
+        ),
+        occ as (
+            select fingerprint,
+                   min({{'d': doc_id, 'i': passage_idx}}) as keeper,
+                   count(*) as n_occurrences,
+                   count(distinct doc_id) as n_docs
+            from p
+            where length(regexp_replace(lower(trim(passage)),
+                                        '\s+', ' ', 'g')) >= {min_chars}
+            group by fingerprint
+            having count(*) >= {min_repeats}
+        )
+        select p.doc_id, p.passage_idx, p.fingerprint,
+               occ.n_occurrences, occ.n_docs,
+               occ.keeper.d as keeper_doc_id,
+               occ.keeper.i as keeper_passage_idx,
+               (occ.n_occurrences is null
+                or (p.doc_id = occ.keeper.d
+                    and p.passage_idx = occ.keeper.i)) as is_kept
+        from p left join occ using (fingerprint)
+    """).fetchdf()
+
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert len(sdf) > 0
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return sorted(
+            "|".join("NULL" if v is None or v != v else str(v)
+                     for v in (r[c] for c in cols))
+            for _, r in df[cols].iterrows()
+        )
+
+    # pandas floats from nullable ints: normalize numerics to float str
+    for c in ("n_occurrences", "n_docs", "keeper_passage_idx"):
+        sdf[c] = sdf[c].astype("float64")
+        ddf[c] = ddf[c].astype("float64")
+    sm, dm = norm(sdf), norm(ddf)
+    diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
+    assert sm == dm, f"first diffs: {diffs}"
