@@ -1578,3 +1578,112 @@ def test_fold_bucket_emits_saturation_signal():
     out2, reps2 = _fold_bucket(dup_rows, reps, min_slots=4, max_reps=2)
     assert out2 == [("u9", 9, "u0", 4, False)]
     assert reps2 == reps
+
+
+def test_stream_ingest_gate_plus_chunks(spark, tmp_path_factory):
+    """Round-6 composed streaming ingest: the near-dup gate chained in
+    front of chunking inside one foreachBatch pipeline — flags equal the
+    batch differential oracle, and the chunks table contains exactly the
+    kept pages' chunks (row-for-row against the batch composition)."""
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.operators.chunking import build_chunks
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stateful import near_dup_flags_batch
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("ingest_pages"))
+    for part in range(4):
+        pages, _ = generate_pages(50, start=part * 50, min_sent=12,
+                                  max_sent=20, dup_rate=0.15)
+        pq.write_table(pages, f"{d}/part-{part}.parquet")
+
+    out = str(tmp_path_factory.mktemp("ingest_out"))
+    ckpt = str(tmp_path_factory.mktemp("ingest_ckpt"))
+    q = stream_ingest(
+        read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
+    )
+    q.awaitTermination(300)
+
+    flags = spark.read.parquet(f"{out}/dup_flags")
+    s_rows = flags.filter("dup_of is not null").select(
+        "url", "band_idx", "dup_of", "agreement", "saturated"
+    )
+    batch = near_dup_flags_batch(spark.read.parquet(d))
+    b_rows = batch.filter("dup_of is not null").select(
+        "url", "band_idx", "dup_of", "agreement", "saturated"
+    )
+    assert s_rows.count() == b_rows.count() > 0
+    assert s_rows.exceptAll(b_rows).count() == 0
+
+    # chunks = batch composition over the kept set, row-for-row
+    pages_all = spark.read.parquet(d)
+    dup_urls = b_rows.select("url").distinct()
+    kept = pages_all.join(dup_urls, "url", "left_anti")
+    expect = build_chunks(kept, with_embeddings=False).select(
+        "url", "chunk_index", "content"
+    )
+    got = spark.read.parquet(f"{out}/chunks").select(
+        "url", "chunk_index", "content"
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+
+    # state pruned to the last two versions, newest = final batch
+    import glob
+    vs = sorted(int(p.rsplit("=", 1)[1])
+                for p in glob.glob(f"{out}/dedup_state/state_v=*"))
+    assert len(vs) <= 2
+
+
+def test_stream_ingest_checkpoint_restart(spark, tmp_path_factory):
+    """Kill between micro-batch groups (two availableNow runs over a
+    growing directory, same checkpoint): the resumed pipeline must end
+    byte-identical to a single uninterrupted run — versioned rep state
+    carries the gate's memory across restarts."""
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d1 = str(tmp_path_factory.mktemp("ingest_r_pages"))
+    parts = []
+    for part in range(4):
+        pages, _ = generate_pages(40, start=part * 40, min_sent=12,
+                                  max_sent=20, dup_rate=0.2)
+        parts.append(pages)
+
+    # interrupted: first two files, run to completion, then two more
+    for i in range(2):
+        pq.write_table(parts[i], f"{d1}/part-{i}.parquet")
+    out_r = str(tmp_path_factory.mktemp("ingest_r_out"))
+    ckpt_r = str(tmp_path_factory.mktemp("ingest_r_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
+                      out_r, ckpt_r)
+    q.awaitTermination(300)
+    for i in range(2, 4):
+        pq.write_table(parts[i], f"{d1}/part-{i}.parquet")
+    q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
+                      out_r, ckpt_r)
+    q.awaitTermination(300)
+
+    # uninterrupted reference run over the same four files
+    d2 = str(tmp_path_factory.mktemp("ingest_f_pages"))
+    for i in range(4):
+        pq.write_table(parts[i], f"{d2}/part-{i}.parquet")
+    out_f = str(tmp_path_factory.mktemp("ingest_f_out"))
+    ckpt_f = str(tmp_path_factory.mktemp("ingest_f_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d2, max_files_per_trigger=1),
+                      out_f, ckpt_f)
+    q.awaitTermination(300)
+
+    for table, cols in [
+        ("dup_flags", ["url", "band_idx", "dup_of", "agreement"]),
+        ("chunks", ["url", "chunk_index", "content"]),
+    ]:
+        a = spark.read.parquet(f"{out_r}/{table}").select(*cols)
+        b = spark.read.parquet(f"{out_f}/{table}").select(*cols)
+        assert a.count() == b.count(), table
+        assert a.exceptAll(b).count() == 0, f"{table} differs after restart"
