@@ -145,12 +145,19 @@ def run(
         metrics[f"sec_{stage}"] = round(time.perf_counter() - _t0, 1)
         _t0 = time.perf_counter()
 
+    def _desc(stage: str) -> None:
+        # Tag every job of this pipeline stage in the Spark UI / REST API
+        # (description survives into /api/v1/.../stages), so task-level
+        # skew metrics attribute to pipeline stages by name.
+        spark.sparkContext.setJobDescription(f"dm:{run_id}:{stage}")
+
     # ---- stage 0: extract once (bucketed, resumable) ------------------------
     # The extracted-text table is the Spark analog of the reference's
     # extracted-text twin blob (BlobStorageService.cs:174-234); chunking
     # and triple extraction both consume it, so the html column — the
     # bulk of the bytes at 100 TB — is read and boilerplate-stripped once.
     extracted_path = os.path.join(out_dir, "extracted")
+    _desc("extract")
     todo = _not_done_pages(spark, pages, out_dir, run_id, "extract", n_buckets)
     buckets = _todo_buckets(todo)
     if buckets:
@@ -179,6 +186,7 @@ def run(
     # filter of the bucket-partitioned extracted table keeps its physical
     # grouping (a parquet split never crosses partition dirs), so no shuffle.
     if quality:
+        _desc("quality")
         quality_path = os.path.join(out_dir, "extracted_quality")
         qaudit_path = os.path.join(out_dir, "quality_audit")
         if not ln.stage_marker_done(spark, out_dir, run_id, "quality"):
@@ -224,6 +232,7 @@ def run(
     # re-clusters by bucket so every downstream stage keeps the aligned
     # shuffle-free write path.
     if dedup:
+        _desc("dedup")
         dedup_path = os.path.join(out_dir, "extracted_dedup")
         audit_path = os.path.join(out_dir, "dedup_audit")
         if not ln.stage_marker_done(spark, out_dir, run_id, "dedup"):
@@ -265,6 +274,7 @@ def run(
             raise StageKill("injected failure after stage: dedup")
 
     # ---- stage 1: chunks (bucketed, resumable) -----------------------------
+    _desc("chunks")
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "chunks", n_buckets)
     chunks_path = os.path.join(out_dir, "chunks")
     buckets = _todo_buckets(todo)
@@ -299,6 +309,7 @@ def run(
     # (md5 fingerprint, min-(url,chunk_index) keeper), so a killed run
     # re-derives identical tables under dynamic partition overwrite.
     if chunk_dedup:
+        _desc("chunk_dedup")
         cdedup_path = os.path.join(out_dir, "chunks_dedup")
         cdaudit_path = os.path.join(out_dir, "chunk_dedup_audit")
         if not ln.stage_marker_done(spark, out_dir, run_id, "chunk_dedup"):
@@ -339,6 +350,7 @@ def run(
             raise StageKill("injected failure after stage: chunk_dedup")
 
     # ---- stage 2: triples (bucketed, resumable) -----------------------------
+    _desc("triples")
     todo = _not_done_pages(spark, extracted, out_dir, run_id, "triples", n_buckets)
     triples_path = os.path.join(out_dir, "triples")
     buckets = _todo_buckets(todo)
@@ -359,6 +371,7 @@ def run(
         raise StageKill("injected failure after stage: triples")
 
     # ---- stage 3: linking + canonicalization (global) -----------------------
+    _desc("nodes")
     nodes_path = os.path.join(out_dir, "nodes")
     if not ln.stage_marker_done(spark, out_dir, run_id, "nodes"):
         mentions = mentions_from_triples(triples).cache()
@@ -404,6 +417,7 @@ def run(
         raise StageKill("injected failure after stage: nodes")
 
     # ---- stage 4: edges = triples resolved to canonical ids (bucketed) ------
+    _desc("edges")
     edges_path = os.path.join(out_dir, "edges")
     if not ln.stage_marker_done(spark, out_dir, run_id, "edges"):
         canon = nodes.select(
@@ -454,4 +468,5 @@ def run(
         )
     metrics["edges"] = ln.committed_row_count(spark, out_dir, run_id, "edges")
     _mark("edges")
+    spark.sparkContext.setJobDescription(None)
     return metrics

@@ -57,11 +57,25 @@ SENTENCE_SURFACES: dict[str, list[str]] = {
 _PRED_IDS = sorted(PREDICATES.keys())
 
 # Zipf-ish skew over canonical entities for sentence subjects: entity 0 is
-# the hot head key (exercises salt-key mitigation measurably).
+# the hot head key (exercises salt-key mitigation measurably).  The default
+# exponent 1.2 is the corpus every fixture/benchmark uses; the skew
+# validation raises it (e.g. 2.5) to concentrate the head hard.
 _ZIPF_WEIGHTS = np.array(
     [1.0 / (i + 1) ** 1.2 for i in range(len(CANONICAL_ENTITIES))]
 )
 _ZIPF_CDF = np.cumsum(_ZIPF_WEIGHTS / _ZIPF_WEIGHTS.sum())
+
+_ZIPF_CDF_CACHE: dict = {1.2: _ZIPF_CDF}
+
+
+def _zipf_cdf(s: float):
+    cdf = _ZIPF_CDF_CACHE.get(s)
+    if cdf is None:
+        w = np.array(
+            [1.0 / (i + 1) ** s for i in range(len(CANONICAL_ENTITIES))]
+        )
+        cdf = _ZIPF_CDF_CACHE[s] = np.cumsum(w / w.sum())
+    return cdf
 
 # Chunking-adversarial texts (FIXTURES.md §B bullet 6); url range
 # doc-0 .. doc-{len-1} when n allows.
@@ -79,12 +93,13 @@ EDGE_TEXTS: list[str] = [
 ]
 
 
-def _pick_zipf(rng: random.Random) -> int:
-    return int(np.searchsorted(_ZIPF_CDF, rng.random()))
+def _pick_zipf(rng: random.Random, zipf_s: float = 1.2) -> int:
+    return int(np.searchsorted(_zipf_cdf(zipf_s), rng.random()))
 
 
 def _page_sentences(
-    rng: random.Random, lang: str, min_sent: int = 2, max_sent: int = 8
+    rng: random.Random, lang: str, min_sent: int = 2, max_sent: int = 8,
+    zipf_s: float = 1.2,
 ) -> tuple[list[str], list[tuple[str, str, str, str, str]]]:
     """Generate sentences + expected (subj, pred, obj, subj_canon, obj_canon)."""
     n_sent = rng.randint(min_sent, max_sent)
@@ -93,7 +108,7 @@ def _page_sentences(
     fillers = FILLER_SENTENCES[lang]
     for _ in range(n_sent):
         if rng.random() < 0.7:
-            si = _pick_zipf(rng)
+            si = _pick_zipf(rng, zipf_s)
             oi = rng.randrange(len(CANONICAL_ENTITIES) - 1)
             if oi >= si:
                 oi += 1
@@ -199,7 +214,7 @@ def _junk_page_text(page_idx: int, seed: int) -> str:
 def generate_page(page_idx: int, seed: int = 42,
                   min_sent: int = 2, max_sent: int = 8,
                   mixed_formats: bool = False, dup_rate: float = 0.0,
-                  junk_rate: float = 0.0) -> dict:
+                  junk_rate: float = 0.0, zipf_s: float = 1.2) -> dict:
     """Generate one page + its expected triples, deterministically.
 
     ``mixed_formats=True`` makes a deterministic share of the corpus real
@@ -258,7 +273,7 @@ def generate_page(page_idx: int, seed: int = 42,
                     src_idx += 1
                 break
         src = generate_page(src_idx, seed, min_sent, max_sent,
-                            mixed_formats, dup_rate=0.0)
+                            mixed_formats, dup_rate=0.0, zipf_s=zipf_s)
         lang = src["lang"]
         paras = src["text"].split("\n\n") if src["text"] else []
         if drng.random() < 0.5 and paras:
@@ -286,7 +301,8 @@ def generate_page(page_idx: int, seed: int = 42,
         triples: list[tuple[str, str, str, str, str]] = []
         paras = [text] if text else []
     else:
-        sentences, triples = _page_sentences(rng, lang, min_sent, max_sent)
+        sentences, triples = _page_sentences(rng, lang, min_sent, max_sent,
+                                             zipf_s=zipf_s)
         paras = []
         i = 0
         while i < len(sentences):
@@ -378,7 +394,7 @@ def generate_pages(
     n: int, seed: int = 42, start: int = 0,
     min_sent: int = 2, max_sent: int = 8,
     mixed_formats: bool = False, dup_rate: float = 0.0,
-    junk_rate: float = 0.0,
+    junk_rate: float = 0.0, zipf_s: float = 1.2,
 ) -> tuple[pa.Table, pa.Table]:
     """Generate ``n`` pages -> (pages table, expected_triples table).
 
@@ -391,7 +407,8 @@ def generate_pages(
                                               "subj_canon", "obj_canon")}
     for i in range(start, start + n):
         page = generate_page(i, seed, min_sent, max_sent, mixed_formats,
-                             dup_rate=dup_rate, junk_rate=junk_rate)
+                             dup_rate=dup_rate, junk_rate=junk_rate,
+                             zipf_s=zipf_s)
         for k in cols:
             cols[k].append(page[k])
         for (subj, pred, obj, sc, oc) in page["triples"]:
@@ -410,7 +427,8 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
                  batch_size: int = 100_000,
                  min_sent: int = 2, max_sent: int = 8,
                  mixed_formats: bool = False,
-                 dup_rate: float = 0.0, junk_rate: float = 0.0) -> None:
+                 dup_rate: float = 0.0, junk_rate: float = 0.0,
+                 zipf_s: float = 1.2) -> None:
     """Write ``pages.parquet``, ``expected_triples.parquet`` and
     ``aliases.parquet`` under ``out_dir`` (multi-row-group for parallel
     scan)."""
@@ -425,7 +443,7 @@ def write_corpus(out_dir: str, n: int, seed: int = 42,
                                         min_sent=min_sent, max_sent=max_sent,
                                         mixed_formats=mixed_formats,
                                         dup_rate=dup_rate,
-                                        junk_rate=junk_rate)
+                                        junk_rate=junk_rate, zipf_s=zipf_s)
         pages_writer.write_table(pages, row_group_size=min(cnt, 20_000))
         triples_writer.write_table(triples)
     pages_writer.close()
@@ -451,7 +469,9 @@ if __name__ == "__main__":
                     help="fraction of pages planted as near-duplicate clones")
     ap.add_argument("--junk-rate", type=float, default=0.0,
                     help="fraction of pages planted as low-quality junk")
+    ap.add_argument("--zipf-s", type=float, default=1.2,
+                    help="Zipf exponent for subject-entity skew")
     args = ap.parse_args()
     write_corpus(args.out_dir, args.n, args.seed, dup_rate=args.dup_rate,
-                 junk_rate=args.junk_rate)
+                 junk_rate=args.junk_rate, zipf_s=args.zipf_s)
     print(f"wrote {args.n} pages to {args.out_dir}")
