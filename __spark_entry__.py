@@ -448,7 +448,7 @@ def q_s12_evolution(spark, sf_dir):
 
 
 _TOKEN_SECRET = b"driftmind-demo-secret"
-# fixed validation instant (2025-08-12T11:20:00Z) so the expiry check is
+# fixed validation instant (2025-08-12T12:00:00Z) so the expiry check is
 # deterministic and oracle-checkable; production passes F.unix_timestamp()
 _TOKEN_NOW = 1755000000
 

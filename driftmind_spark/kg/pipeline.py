@@ -192,7 +192,10 @@ def run(
         if not ln.stage_marker_done(spark, out_dir, run_id, "quality"):
             from ..operators.quality import quality_filter
 
-            judged = quality_filter(extracted, **(quality_opts or {}))
+            # persist: the audit and kept writes are two actions over the
+            # same filter — uncached they would each re-scan the full
+            # extracted table (the corpus text, the bulk of the bytes)
+            judged = quality_filter(extracted, **(quality_opts or {})).persist()
             audit = judged.filter(~F.col("keep")).select(
                 "url", "bucket", "n_chars", "n_tokens", "punct_ratio",
                 "stop_ratio", "chars_per_token", "lang_guess",
@@ -201,6 +204,7 @@ def run(
             _write_bucketed(audit, qaudit_path, pre_clustered=True)
             kept = judged.filter(F.col("keep")).select(*extracted.columns)
             _write_bucketed(kept, quality_path, pre_clustered=True)
+            judged.unpersist()
             n_kept, n_dropped = (
                 spark.read.parquet(quality_path).count(),
                 spark.read.parquet(qaudit_path).count(),
@@ -316,7 +320,9 @@ def run(
             from ..operators.passages import chunk_dedup as _chunk_dedup
 
             chunks_all = spark.read.parquet(chunks_path)
-            res = _chunk_dedup(chunks_all, **(chunk_dedup_opts or {}))
+            # persist: audit + kept writes are two actions over the same
+            # fingerprint join (same rationale as the quality stage)
+            res = _chunk_dedup(chunks_all, **(chunk_dedup_opts or {})).persist()
             # audit is NARROW (ids + fingerprint + keeper): the dropped
             # text is recoverable via the keeper row, so at 100 TB the
             # audit table costs ids, not content
@@ -329,6 +335,7 @@ def run(
             # write re-clusters by bucket (no pre_clustered shortcut here)
             kept = res.filter(F.col("is_kept")).select(*chunks_all.columns)
             _write_bucketed(kept, cdedup_path)
+            res.unpersist()
             n_kept, n_dropped = (
                 spark.read.parquet(cdedup_path).count(),
                 spark.read.parquet(cdaudit_path).count(),

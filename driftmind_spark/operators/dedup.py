@@ -414,11 +414,12 @@ def minhash_hot_band_stats(
                             portable=portable, sample_mod=sample_mod),
         num_perm, bands,
     )
-    return (
-        melted.groupBy("band_idx", "band_hash")
-        .agg(F.count("*").alias("bucket_size"))
-        .filter(F.col("bucket_size") > max_bucket_size)
+    sizes = melted.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_size")
     )
+    if max_bucket_size is None:  # cap disabled -> nothing is ever dropped
+        return sizes.filter(F.lit(False))
+    return sizes.filter(F.col("bucket_size") > max_bucket_size)
 
 
 def simhash_block_layout(max_hamming: int, n_blocks: int | None = None):
@@ -815,6 +816,11 @@ CORPUS_DEDUP_SIG_DEFAULTS: dict = {
     "sample_mod": 4,
 }
 
+# "parameter not supplied" sentinel: for max_bucket_size, None is a REAL
+# value (disable the hot-bucket cap — the documented pre-round-6
+# semantics), so absence needs its own marker.
+UNSET: object = object()
+
 
 def corpus_dedup_params(**overrides) -> dict:
     """The signature/banding parameters a ``corpus_dedup`` call resolves
@@ -824,16 +830,20 @@ def corpus_dedup_params(**overrides) -> dict:
     provably match the buckets the production pair run capped on.
     (Without this, the stats call's ``portable=True`` default silently
     reported buckets for a DIFFERENT signature construction than
-    corpus_dedup's ``portable=False`` production path.)"""
+    corpus_dedup's ``portable=False`` production path.)
+
+    ``max_bucket_size=None`` (or 0) DISABLES the cap; for every other
+    key, ``None``/:data:`UNSET` means "use the default"."""
     unknown = set(overrides) - set(CORPUS_DEDUP_SIG_DEFAULTS)
     if unknown:
         raise TypeError(
             f"unknown corpus_dedup signature params: {sorted(unknown)}"
         )
-    params = {
-        **CORPUS_DEDUP_SIG_DEFAULTS,
-        **{k: v for k, v in overrides.items() if v is not None},
-    }
+    params = dict(CORPUS_DEDUP_SIG_DEFAULTS)
+    for k, v in overrides.items():
+        if v is UNSET or (v is None and k != "max_bucket_size"):
+            continue
+        params[k] = v
     if params["max_bucket_size"] == 0:
         params["max_bucket_size"] = None  # 0 = disable the hot-bucket cap
     return params
@@ -846,7 +856,7 @@ def corpus_dedup(
     num_perm: int | None = None,
     bands: int | None = None,
     shingle_k: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size=UNSET,  # int; None/0 disables the hot-bucket cap
     min_agreement: float = 0.9,
     small_graph_threshold: int = 200_000,
     portable: bool | None = None,

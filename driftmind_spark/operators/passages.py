@@ -42,12 +42,11 @@ __all__ = [
 
 _PARA_SPLIT = r"\n{2,}"
 
-
-def _norm(col: F.Column) -> F.Column:
-    """Whitespace-normalized lowercase — the same normalization as
-    ``textstats.fingerprints`` so passage and document fingerprints are
-    one family."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+# Whitespace-normalized lowercase — the SHARED normalization (one
+# definition for the whole dedup family: exact_dedup, fingerprints,
+# passage/chunk fingerprints), imported rather than redefined so the
+# families can never drift apart.
+from .dedup import NORM as _norm  # noqa: E402
 
 
 def passage_table(
@@ -59,8 +58,10 @@ def passage_table(
     with ``fingerprint = md5(whitespace-normalized lowercase text)``.
 
     All JVM-side (split/posexplode/md5 — whole-stage codegen); an empty
-    document yields exactly one empty passage so no doc vanishes."""
-    paras = F.split(F.col(text_col), _PARA_SPLIT)
+    (or NULL — ``split(NULL)`` would posexplode to ZERO rows and the doc
+    would silently vanish from the audit frame) document yields exactly
+    one empty passage so no doc vanishes."""
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), _PARA_SPLIT)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(paras).alias("passage_idx", "passage"),
@@ -177,7 +178,14 @@ def chunk_dedup(
 
     Operating on chunk rows (rather than re-splitting text) keeps the
     byte-parity chunking contract untouched: chunk boundaries are still
-    exactly the reference's, and dedup only FILTERS rows."""
+    exactly the reference's, and dedup only FILTERS rows.
+
+    Re-runnable on its own output: a frame already carrying the derived
+    columns (a persisted ``chunks_dedup`` table, an audit join) has them
+    dropped and recomputed instead of colliding ambiguously."""
+    derived = ("fingerprint", "n_occurrences", "keeper_doc", "keeper_idx",
+               "is_kept")
+    chunks = chunks.drop(*[c for c in derived if c in chunks.columns])
     norm_len = F.length(_norm(F.col(content_col)))
     occ = (
         chunks.filter(norm_len >= min_chars)

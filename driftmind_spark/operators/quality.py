@@ -61,8 +61,13 @@ def quality_filter(
     suddenly rejects 40% of a crawl shows up as its reason's count, not
     as a silent corpus shrink)."""
     p = quality_params(**overrides)
-    feats = quality_cols(text_col)
-    lang = lang_cols(text_col)
+    # NULL text folds to '' for FEATURE computation (the output columns
+    # pass through untouched): without this, every threshold comparison
+    # on a NULL feature is NULL, the F.when(cond, reason) falls through
+    # to NULL, and a null-text doc sails through the gate as "clean"
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    feats = quality_cols(text)
+    lang = lang_cols(text)
 
     checks: list[tuple[str, F.Column]] = [
         ("too_short", feats["n_chars"] < F.lit(p["min_chars"])),

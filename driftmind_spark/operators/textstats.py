@@ -22,11 +22,16 @@ def _marker_hits(tokens, markers) -> F.Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
 
 
-def lang_cols(text_col: str = "text") -> dict[str, F.Column]:
+def _text(text_col) -> F.Column:
+    return F.col(text_col) if isinstance(text_col, str) else text_col
+
+
+def lang_cols(text_col="text") -> dict[str, F.Column]:
     """The language-ID expressions as named columns — shared between the
     :func:`lang_id` frame (oracle-checked) and the quality pipeline
-    stage (operators/quality.py), so both gate on the SAME guess."""
-    toks = F.split(F.lower(F.col(text_col)), _WORD_SPLIT)
+    stage (operators/quality.py), so both gate on the SAME guess.
+    Accepts a column name or a Column expression."""
+    toks = F.split(F.lower(_text(text_col)), _WORD_SPLIT)
     de = _marker_hits(toks, DE_MARKERS)
     en = _marker_hits(toks, EN_MARKERS)
     guess = (
@@ -45,12 +50,13 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_cols(text_col: str = "text") -> dict[str, F.Column]:
+def quality_cols(text_col="text") -> dict[str, F.Column]:
     """The quality-feature expressions as named columns — shared between
     the :func:`quality_scores` frame (oracle-checked) and the quality
     pipeline stage, so the stage's thresholds apply to the SAME
-    features the observability query reports."""
-    text = F.col(text_col)
+    features the observability query reports.  Accepts a column name or
+    a Column expression."""
+    text = _text(text_col)
     n_chars = F.length(text)
     toks = F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda t: t != "")
     n_tokens = F.size(toks)

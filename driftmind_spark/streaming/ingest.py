@@ -40,12 +40,12 @@ from .stream import _write_batch_idempotent
 
 STATE_SCHEMA = (
     "band_idx int, band_hash bigint, url string, warc_ts timestamp, "
-    "sig array<bigint>, rep_order int"
+    "sig array<bigint>, rep_order int, bucket_latest timestamp"
 )
 GATE_OUT_SCHEMA = (
     "kind string, band_idx int, band_hash bigint, url string, "
     "warc_ts timestamp, dup_of string, agreement int, saturated boolean, "
-    "sig array<bigint>, rep_order int"
+    "sig array<bigint>, rep_order int, bucket_latest timestamp"
 )
 
 
@@ -70,23 +70,34 @@ def _gate_cogroup_fn(min_slots: int, max_reps: int):
         for u, t, _ in rows:
             # first-wins: a rep's timestamp is the event that elected it
             row_ts.setdefault(u, t)
+        # bucket activity clock = the stateful gate's `latest`: refreshed
+        # by EVERY arriving row (including duplicates), so an actively
+        # matching bucket never TTL-expires — eviction keys on this, not
+        # on each rep's election time
+        latest = max(
+            [t for t in reps_pdf["bucket_latest"] if pd.notna(t)]
+            + [t for _, t, _ in rows],
+            default=None,
+        )
         flags, reps_after = _fold_bucket(rows, reps, min_slots, max_reps)
         out = [
             (
-                "flag", band_idx, band_hash, u, t, d, a, s, None, None,
+                "flag", band_idx, band_hash, u, t, d, a, s, None, None, None,
             )
             for (u, t, d, a, s) in flags
         ] + [
             (
                 "rep", band_idx, band_hash, u,
                 rep_ts.get(u, row_ts.get(u)), None, None, None, sig, i,
+                latest,
             )
             for i, (u, sig) in enumerate(reps_after)
         ]
         return pd.DataFrame(
             out,
             columns=["kind", "band_idx", "band_hash", "url", "warc_ts",
-                     "dup_of", "agreement", "saturated", "sig", "rep_order"],
+                     "dup_of", "agreement", "saturated", "sig", "rep_order",
+                     "bucket_latest"],
         )
 
     return fn
@@ -184,14 +195,18 @@ def stream_ingest(
         _write_batch_idempotent(flags, flags_dir, batch_id)
 
         # event-time TTL on the persisted reps (state stays bounded even
-        # without the state store's timeout machinery)
+        # without the state store's timeout machinery).  Eviction keys on
+        # the BUCKET's activity clock — a bucket still catching dups
+        # keeps its reps alive, exactly like the stateful gate's
+        # setTimeoutTimestamp(latest + ttl)
         new_state = folded.filter(F.col("kind") == "rep").select(
-            "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order"
+            "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order",
+            "bucket_latest",
         )
         horizon = batch_df.agg(F.max("warc_ts")).first()[0]
         if horizon is not None:
             new_state = new_state.filter(
-                F.col("warc_ts")
+                F.col("bucket_latest")
                 >= F.lit(horizon) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
             )
         new_state.write.mode("overwrite").parquet(

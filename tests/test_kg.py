@@ -596,3 +596,21 @@ def test_chunk_dedup_kill_and_resume_identical(spark, dup_corpus,
         fp_resumed = _table_fingerprint(spark, f"{out_killed}/{table}", cols)
         fp_full = _table_fingerprint(spark, f"{out_full}/{table}", cols)
         assert fp_resumed == fp_full, f"{table} differs after resume"
+
+
+def test_quality_filter_null_text_rejected(spark):
+    """Round-6 review fix: NULL text must be rejected by the gate even
+    with the langs check disabled — previously every threshold compared
+    NULL, every when() fell to NULL, and the doc passed as 'clean'."""
+    from driftmind_spark.operators.quality import quality_filter
+
+    docs = spark.createDataFrame(
+        [("n", None), ("e", ""), ("ok", "the and is not a with for " * 30)],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in quality_filter(docs, langs=None).collect()}
+    assert not got["n"]["keep"] and "too_short" in got["n"]["reject_reasons"]
+    assert not got["e"]["keep"]
+    assert got["ok"]["keep"]
+    # the pass-through text column itself is untouched
+    assert got["n"]["text"] is None

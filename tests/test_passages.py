@@ -175,3 +175,27 @@ def test_passage_dedup_matches_duckdb_oracle(spark, min_chars, min_repeats):
     sm, dm = norm(sdf), norm(ddf)
     diffs = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
     assert sm == dm, f"first diffs: {diffs}"
+
+
+def test_chunk_dedup_rerunnable_on_own_output(spark):
+    """Round-6 review fix: feeding chunk_dedup its own full output (with
+    derived columns still attached) must recompute instead of raising
+    AMBIGUOUS_REFERENCE."""
+    rows = [("u1", 0, NAV), ("u2", 0, NAV),
+            ("u3", 0, "a distinct body long enough to be eligible here.")]
+    chunks = spark.createDataFrame(
+        rows, "url string, chunk_index int, content string"
+    )
+    first = ps.chunk_dedup(chunks, min_chars=40)
+    again = ps.chunk_dedup(first.filter("is_kept"), min_chars=40)
+    assert again.filter("not is_kept").count() == 0
+    assert again.count() == 2
+
+
+def test_passage_dedup_null_text_doc_not_dropped(spark):
+    """Round-6 review fix: split(NULL) posexplodes to zero rows — a
+    null-text doc must still appear (as one empty kept passage)."""
+    docs = _docs(spark, [("n", None), ("t", "real text")])
+    got = {r["doc_id"]: r for r in ps.passage_dedup(docs).collect()}
+    assert set(got) == {"n", "t"}
+    assert got["n"]["is_kept"] and got["n"]["passage"] == ""

@@ -785,3 +785,25 @@ def test_corpus_dedup_params_shared_with_stats(spark):
     stats = minhash_hot_band_stats(docs, **corpus_dedup_params())
     assert stats.columns == ["band_idx", "band_hash", "bucket_size"]
     assert stats.count() == 0  # 6 distinct docs saturate no bucket
+
+
+def test_corpus_dedup_params_none_disables_cap(spark):
+    """Round-6 review fix: max_bucket_size=None means DISABLE the cap
+    (the documented pre-round-6 semantics), not 'use the default'."""
+    from driftmind_spark.operators.dedup import (
+        corpus_dedup_params, minhash_hot_band_stats,
+    )
+
+    assert corpus_dedup_params(max_bucket_size=None)["max_bucket_size"] is None
+    assert corpus_dedup_params(max_bucket_size=0)["max_bucket_size"] is None
+    assert corpus_dedup_params()["max_bucket_size"] == 256
+    assert corpus_dedup_params(num_perm=None)["num_perm"] == 64  # None=unset
+    docs = spark.createDataFrame(
+        [(i, f"shared words everywhere {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    # stats with a disabled cap: nothing is ever dropped -> empty frame
+    stats = minhash_hot_band_stats(
+        docs, **corpus_dedup_params(max_bucket_size=None)
+    )
+    assert stats.count() == 0

@@ -1594,10 +1594,14 @@ def test_stream_ingest_gate_plus_chunks(spark, tmp_path_factory):
     from driftmind_spark.synth import generate_pages
 
     d = str(tmp_path_factory.mktemp("ingest_pages"))
+    import os
     for part in range(4):
         pages, _ = generate_pages(50, start=part * 50, min_sent=12,
                                   max_sent=20, dup_rate=0.15)
-        pq.write_table(pages, f"{d}/part-{part}.parquet")
+        path = f"{d}/part-{part}.parquet"
+        pq.write_table(pages, path)
+        # strictly increasing mtimes -> deterministic file-stream order
+        os.utime(path, (1_700_000_000 + part, 1_700_000_000 + part))
 
     out = str(tmp_path_factory.mktemp("ingest_out"))
     ckpt = str(tmp_path_factory.mktemp("ingest_ckpt"))
@@ -1650,6 +1654,14 @@ def test_stream_ingest_checkpoint_restart(spark, tmp_path_factory):
 
     d1 = str(tmp_path_factory.mktemp("ingest_r_pages"))
     parts = []
+
+    def _write(table, path, i):
+        # pin strictly increasing mtimes: the file stream source orders
+        # files by modification time, and sub-ms ties would let the two
+        # legs fold micro-batches in different orders (observed flake)
+        import os
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     for part in range(4):
         pages, _ = generate_pages(40, start=part * 40, min_sent=12,
                                   max_sent=20, dup_rate=0.2)
@@ -1657,14 +1669,14 @@ def test_stream_ingest_checkpoint_restart(spark, tmp_path_factory):
 
     # interrupted: first two files, run to completion, then two more
     for i in range(2):
-        pq.write_table(parts[i], f"{d1}/part-{i}.parquet")
+        _write(parts[i], f"{d1}/part-{i}.parquet", i)
     out_r = str(tmp_path_factory.mktemp("ingest_r_out"))
     ckpt_r = str(tmp_path_factory.mktemp("ingest_r_ckpt"))
     q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
                       out_r, ckpt_r)
     q.awaitTermination(300)
     for i in range(2, 4):
-        pq.write_table(parts[i], f"{d1}/part-{i}.parquet")
+        _write(parts[i], f"{d1}/part-{i}.parquet", i)
     q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
                       out_r, ckpt_r)
     q.awaitTermination(300)
@@ -1672,7 +1684,7 @@ def test_stream_ingest_checkpoint_restart(spark, tmp_path_factory):
     # uninterrupted reference run over the same four files
     d2 = str(tmp_path_factory.mktemp("ingest_f_pages"))
     for i in range(4):
-        pq.write_table(parts[i], f"{d2}/part-{i}.parquet")
+        _write(parts[i], f"{d2}/part-{i}.parquet", i)
     out_f = str(tmp_path_factory.mktemp("ingest_f_out"))
     ckpt_f = str(tmp_path_factory.mktemp("ingest_f_ckpt"))
     q = stream_ingest(read_pages_stream(spark, d2, max_files_per_trigger=1),
