@@ -192,10 +192,17 @@ def run(
         if not ln.stage_marker_done(spark, out_dir, run_id, "quality"):
             from ..operators.quality import quality_filter
 
-            # persist: the audit and kept writes are two actions over the
-            # same filter — uncached they would each re-scan the full
-            # extracted table (the corpus text, the bulk of the bytes)
-            judged = quality_filter(extracted, **(quality_opts or {})).persist()
+            # The audit and kept writes are two actions over the same
+            # filter, i.e. two scans of the extracted parquet.  That is
+            # DELIBERATE: caching `judged` would pin the corpus text —
+            # the bulk of the bytes — in executor memory, and at 1M
+            # pages the columnar cache build already thrashes the block
+            # manager (measured: the persist variant failed mid-cache
+            # at 1M while the two-scan variant completes); at 100 TB a
+            # text-bearing cache is impossible by construction, while a
+            # second columnar scan + whole-stage-codegen features is
+            # cheap and embarrassingly parallel.
+            judged = quality_filter(extracted, **(quality_opts or {}))
             audit = judged.filter(~F.col("keep")).select(
                 "url", "bucket", "n_chars", "n_tokens", "punct_ratio",
                 "stop_ratio", "chars_per_token", "lang_guess",
@@ -204,7 +211,6 @@ def run(
             _write_bucketed(audit, qaudit_path, pre_clustered=True)
             kept = judged.filter(F.col("keep")).select(*extracted.columns)
             _write_bucketed(kept, quality_path, pre_clustered=True)
-            judged.unpersist()
             n_kept, n_dropped = (
                 spark.read.parquet(quality_path).count(),
                 spark.read.parquet(qaudit_path).count(),
@@ -320,9 +326,11 @@ def run(
             from ..operators.passages import chunk_dedup as _chunk_dedup
 
             chunks_all = spark.read.parquet(chunks_path)
-            # persist: audit + kept writes are two actions over the same
-            # fingerprint join (same rationale as the quality stage)
-            res = _chunk_dedup(chunks_all, **(chunk_dedup_opts or {})).persist()
+            # two actions over the fingerprint join = two scans of the
+            # chunks parquet — deliberate, same rationale as the quality
+            # stage: `res` carries chunk content + embeddings, and
+            # caching that at corpus scale costs more than the re-scan
+            res = _chunk_dedup(chunks_all, **(chunk_dedup_opts or {}))
             # audit is NARROW (ids + fingerprint + keeper): the dropped
             # text is recoverable via the keeper row, so at 100 TB the
             # audit table costs ids, not content
@@ -335,7 +343,6 @@ def run(
             # write re-clusters by bucket (no pre_clustered shortcut here)
             kept = res.filter(F.col("is_kept")).select(*chunks_all.columns)
             _write_bucketed(kept, cdedup_path)
-            res.unpersist()
             n_kept, n_dropped = (
                 spark.read.parquet(cdedup_path).count(),
                 spark.read.parquet(cdaudit_path).count(),
