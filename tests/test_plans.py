@@ -166,3 +166,59 @@ def test_audio_near_dups_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---- round 6: passage/chunk dedup + quality gate plan shapes ---------------
+
+def test_quality_filter_plan_no_shuffle_no_python(spark):
+    """The quality gate must be a pure scan-side filter: no exchange, no
+    Python eval — its whole cost is one pass over the text."""
+    from driftmind_spark.operators.quality import quality_filter
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    plan = (
+        quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "quality gate must not shuffle"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FileScan" in plan
+
+
+def test_passage_dedup_plan_partial_agg_no_python(spark):
+    """Keeper election aggregates partially map-side (a passage repeated
+    10^9 times reaches its reducer as one row per map task), stays
+    JVM-only, and joins without cartesian products."""
+    from driftmind_spark.operators.passages import passage_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = (
+        passage_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_" in plan or "partial " in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_dedup_plan_shapes(spark):
+    """Same contract over an existing chunks-shaped table."""
+    from driftmind_spark.operators.passages import chunk_dedup
+    from pyspark.sql import functions as F
+
+    chunks = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("chunk_index"),
+        F.col("text").alias("content"),
+    )
+    plan = (
+        chunk_dedup(chunks)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
