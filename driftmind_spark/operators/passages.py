@@ -38,6 +38,9 @@ __all__ = [
     "passage_dedup",
     "apply_passage_dedup",
     "chunk_dedup",
+    "window_fingerprints",
+    "window_dedup",
+    "apply_window_dedup",
 ]
 
 _PARA_SPLIT = r"\n{2,}"
@@ -214,4 +217,158 @@ def chunk_dedup(
         F.col("keeper.doc").alias("keeper_doc"),
         F.col("keeper.idx").alias("keeper_idx"),
         (F.col("n_occurrences").isNull() | first).alias("is_kept"),
+    )
+
+
+def window_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    stride: int | None = None,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Fixed-k token-window fingerprints — the Lee-et-al granularity for
+    repeated-substring detection when paragraph boundaries are absent or
+    unreliable (flattened PDFs, OCR, minified text): ``(doc_id, win_idx,
+    start_token, n_window_tokens, fingerprint)``.
+
+    Tokens are whitespace tokens of the lowercased text; windows start
+    every ``stride`` tokens (default = ``window_tokens`` → disjoint
+    spans, the C4 shape; a smaller stride catches repeats that straddle
+    a span boundary at proportionally more rows).  A doc shorter than
+    one window yields a single window of all its tokens, so every
+    non-empty doc fingerprints.
+
+    HOF-lambda hazard note: the token array is materialized as a column
+    BEFORE the start positions explode — slicing inside a
+    ``transform`` lambda would re-evaluate the split per element.
+    """
+    stride = stride or window_tokens
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    # starts run to the LAST token (not n - window): the tail span is
+    # emitted truncated so the windows cover every token — without it a
+    # disjoint rebuild would silently drop up to window-1 trailing tokens
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    base = with_toks.select(
+        "doc_id",
+        "toks",
+        F.size(F.col("toks")).alias("n_doc_tokens"),
+        F.posexplode(starts).alias("win_idx", "start_token"),
+    )
+    win = F.slice(F.col("toks"), F.col("start_token") + 1, window_tokens)
+    cols = [
+        F.col("doc_id"),
+        F.col("win_idx"),
+        F.col("start_token"),
+        F.col("n_doc_tokens"),
+        F.size(win).alias("n_window_tokens"),
+        F.md5(F.concat_ws(" ", win)).alias("fingerprint"),
+    ]
+    if keep_text:
+        # only the rebuild path pays to move window text through the
+        # fingerprint join; detection-only callers keep rows narrow
+        cols.append(F.concat_ws(" ", win).alias("window_text"))
+    return base.select(*cols).filter(F.col("n_window_tokens") > 0)
+
+
+def window_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    stride: int | None = None,
+    min_repeats: int = 2,
+    keep_text: bool = False,
+) -> DataFrame:
+    """First-occurrence keeper election over token-window fingerprints —
+    the same resolution contract as :func:`passage_dedup` one
+    granularity down: ``(doc_id, win_idx, start_token, fingerprint,
+    n_occurrences, n_docs, keeper_doc_id, keeper_win_idx, is_kept)``.
+
+    With the default disjoint stride, ``filter(is_kept)`` partitions
+    every doc's tokens into kept spans (rebuild with
+    :func:`apply_window_dedup`); with an overlapping stride the frame is
+    a detection/audit surface (windows share tokens, so dropping rows
+    is not a partition)."""
+    w = window_fingerprints(docs, id_col, text_col, window_tokens, stride,
+                            keep_text=keep_text)
+    # eligibility: FULL windows, plus the single whole-doc window of a
+    # short doc (an exact short-doc duplicate).  A truncated multi-window
+    # TAIL is never deduped — a few trailing tokens repeat accidentally
+    # far too often to treat as boilerplate evidence (the Lee-et-al
+    # minimum-span rule).
+    eligible = (F.col("n_window_tokens") == window_tokens) | (
+        F.col("n_doc_tokens") <= window_tokens
+    )
+    occ = (
+        w.filter(eligible)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.struct("doc_id", "win_idx")).alias("keeper"),
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_repeats)
+    )
+    j = w.join(occ, "fingerprint", "left")
+    first = (F.col("doc_id") == F.col("keeper.doc_id")) & (
+        F.col("win_idx") == F.col("keeper.win_idx")
+    )
+    out = [
+        "doc_id",
+        "win_idx",
+        "start_token",
+        "fingerprint",
+        "n_occurrences",
+        "n_docs",
+        F.col("keeper.doc_id").alias("keeper_doc_id"),
+        F.col("keeper.win_idx").alias("keeper_win_idx"),
+        (F.col("n_occurrences").isNull() | first).alias("is_kept"),
+    ]
+    if keep_text:
+        out.insert(3, "window_text")
+    return j.select(*out)
+
+
+def apply_window_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Rebuild documents with repeated DISJOINT token spans removed:
+    ``(doc_id, text)`` where text is the kept windows' tokens re-joined
+    with single spaces (whitespace-normalized by construction — token
+    windows cannot preserve the original whitespace).  Disjoint stride
+    only: overlapping windows share tokens, so dropping rows would not
+    partition the doc.  Every input doc appears; a doc whose every span
+    was dropped comes back empty."""
+    res = window_dedup(docs, id_col, text_col, window_tokens, stride=None,
+                       min_repeats=min_repeats, keep_text=True)
+    rebuilt = (
+        res.filter("is_kept")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("win_idx", "window_text"))
+                    ),
+                    lambda s: s.window_text,
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )

@@ -199,3 +199,68 @@ def test_passage_dedup_null_text_doc_not_dropped(spark):
     got = {r["doc_id"]: r for r in ps.passage_dedup(docs).collect()}
     assert set(got) == {"n", "t"}
     assert got["n"]["is_kept"] and got["n"]["passage"] == ""
+
+
+# ---- fixed-k token-window granularity (round 6 late) -----------------------
+
+LICENSE_BLOCK = " ".join(f"license term number {i} applies here" for i in range(12))
+# 60 tokens -> spans two windows at window_tokens=30
+
+
+def test_window_fingerprints_disjoint_cover_all_tokens(spark):
+    docs = _docs(spark, [
+        ("a", " ".join(f"tok{i}" for i in range(70))),
+        ("b", "short doc only"),
+        ("c", ""),
+    ])
+    w = ps.window_fingerprints(docs, window_tokens=30).collect()
+    by_doc = {}
+    for r in w:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 tokens, stride 30 -> starts 0,30,60; the tail window is
+    # TRUNCATED (10 tokens), never silently dropped: coverage is total
+    starts_a = sorted(r["start_token"] for r in by_doc["a"])
+    assert starts_a == [0, 30, 60]
+    sizes = {r["start_token"]: r["n_window_tokens"] for r in by_doc["a"]}
+    assert sizes == {0: 30, 30: 30, 60: 10}
+    assert sum(sizes.values()) == 70
+    # short doc -> one window of all tokens
+    assert len(by_doc["b"]) == 1
+    assert by_doc["b"][0]["n_window_tokens"] == 3
+    # empty doc -> no windows (apply_* restores the doc as empty)
+    assert "c" not in by_doc
+
+
+def test_window_dedup_flags_repeated_block(spark):
+    docs = _docs(spark, [
+        ("a", f"{LICENSE_BLOCK} unique tail for doc a here"),
+        ("b", f"{LICENSE_BLOCK} entirely different ending text b"),
+    ])
+    res = ps.window_dedup(docs, window_tokens=30).collect()
+    flagged = [r for r in res if r["n_occurrences"] is not None]
+    # both license windows (0-29, 30-59) repeat across the two docs
+    assert {(r["doc_id"], r["win_idx"]) for r in flagged} >= {
+        ("a", 0), ("a", 1), ("b", 0), ("b", 1)
+    }
+    by_key = {(r["doc_id"], r["win_idx"]): r for r in res}
+    assert by_key[("a", 0)]["is_kept"] and not by_key[("b", 0)]["is_kept"]
+    assert by_key[("b", 0)]["keeper_doc_id"] == "a"
+
+
+def test_apply_window_dedup_removes_repeats_keeps_all_docs(spark):
+    docs = _docs(spark, [
+        ("a", LICENSE_BLOCK),
+        ("b", LICENSE_BLOCK),
+        ("c", "totally unique little document"),
+        ("d", ""),
+    ])
+    got = {r["doc_id"]: r["text"]
+           for r in ps.apply_window_dedup(docs, window_tokens=30).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert got["a"] == LICENSE_BLOCK.lower()
+    # b's two FULL windows repeat a's and are dropped; its truncated
+    # 12-token tail is ineligible by the minimum-span rule and survives
+    tail = " ".join(LICENSE_BLOCK.lower().split()[60:])
+    assert got["b"] == tail
+    assert got["c"] == "totally unique little document"
+    assert got["d"] == ""
