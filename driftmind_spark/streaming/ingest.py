@@ -152,6 +152,8 @@ def stream_ingest(
     ttl_seconds: int = 7 * 24 * 3600,
     chunk_size: int = 300,
     overlap: int = 20,
+    quality: bool = False,
+    quality_opts: dict | None = None,
 ):
     """pages stream -> ``{out_dir}/dup_flags`` (per-band verdicts, incl.
     saturation signals) + ``{out_dir}/chunks`` (chunk rows for KEPT
@@ -159,16 +161,37 @@ def stream_ingest(
     micro-batch replay.  A page is kept iff NO band flags it with a
     non-null ``dup_of`` — the same decision rule documented on
     ``stream_near_dups``, applied inside the batch so chunking never
-    sees a near-duplicate."""
+    sees a near-duplicate.
+
+    ``quality=True`` prepends the batch pipeline's quality gate
+    (operators/quality.py, same thresholds via ``quality_opts``):
+    rejected pages land in ``{out_dir}/quality_audit`` (batch_id
+    partitioned, idempotent) and never reach the dedup gate or
+    chunking — the streaming ingest then mirrors the batch stage order
+    quality → dedup → chunks exactly.  The gate is stateless per row,
+    so it adds no streaming state."""
     from ..operators.chunking import build_chunks
 
     min_slots = int(-(-min_agreement * num_perm // 1))
     state_dir = posixpath.join(out_dir, "dedup_state")
     flags_dir = posixpath.join(out_dir, "dup_flags")
     chunks_dir = posixpath.join(out_dir, "chunks")
+    qaudit_dir = posixpath.join(out_dir, "quality_audit")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if quality:
+            from ..operators.quality import quality_filter
+
+            in_cols = batch_df.columns
+            judged = quality_filter(batch_df, **(quality_opts or {}))
+            audit = judged.filter(~F.col("keep")).select(
+                "url", "warc_ts", "n_chars", "n_tokens", "punct_ratio",
+                "stop_ratio", "chars_per_token", "lang_guess",
+                "reject_reasons",
+            )
+            _write_batch_idempotent(audit, qaudit_dir, batch_id)
+            batch_df = judged.filter(F.col("keep")).select(*in_cols)
         batch_df = batch_df.persist()
         banded = _sig_banded(
             batch_df.select("url", "warc_ts", "text"),

@@ -1699,3 +1699,61 @@ def test_stream_ingest_checkpoint_restart(spark, tmp_path_factory):
         b = spark.read.parquet(f"{out_f}/{table}").select(*cols)
         assert a.count() == b.count(), table
         assert a.exceptAll(b).count() == 0, f"{table} differs after restart"
+
+
+def test_stream_ingest_with_quality_gate(spark, tmp_path_factory):
+    """quality=True mirrors the batch stage order quality -> dedup ->
+    chunks inside the stream: junk pages land in quality_audit and never
+    reach chunking; the final chunks equal the batch composition."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.operators.chunking import build_chunks
+    from driftmind_spark.operators.quality import quality_filter
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stateful import near_dup_flags_batch
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("ingest_q_pages"))
+    for part in range(3):
+        pages, _ = generate_pages(50, start=part * 50, min_sent=12,
+                                  max_sent=20, dup_rate=0.1, junk_rate=0.15)
+        path = f"{d}/part-{part}.parquet"
+        pq.write_table(pages, path)
+        os.utime(path, (1_700_000_000 + part, 1_700_000_000 + part))
+
+    out = str(tmp_path_factory.mktemp("ingest_q_out"))
+    ckpt = str(tmp_path_factory.mktemp("ingest_q_ckpt"))
+    q = stream_ingest(
+        read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
+        quality=True,
+    )
+    q.awaitTermination(300)
+
+    pages_all = spark.read.parquet(d)
+    judged = quality_filter(pages_all)
+    rejected = judged.filter(~F.col("keep")).select("url")
+    audit = spark.read.parquet(f"{out}/quality_audit")
+    assert audit.count() == rejected.count() > 0
+    assert audit.select("url").exceptAll(rejected).count() == 0
+
+    # batch composition over the quality-kept set
+    kept_q = judged.filter(F.col("keep")).select(*pages_all.columns)
+    dup_urls = (
+        near_dup_flags_batch(kept_q).filter("dup_of is not null")
+        .select("url").distinct()
+    )
+    kept = kept_q.join(dup_urls, "url", "left_anti")
+    expect = build_chunks(kept, with_embeddings=False).select(
+        "url", "chunk_index", "content"
+    )
+    got = spark.read.parquet(f"{out}/chunks").select(
+        "url", "chunk_index", "content"
+    )
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    # no rejected page ever reached chunking
+    assert got.join(rejected, "url", "left_semi").count() == 0
