@@ -245,8 +245,11 @@ def window_fingerprints(
     ``transform`` lambda would re-evaluate the split per element.
     """
     stride = stride or window_tokens
+    # NULL folds to '' (family-wide rule): a null-text doc yields zero
+    # windows rather than a null-propagation surprise downstream
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
     )
     with_toks = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("toks")
