@@ -22,6 +22,15 @@ import numpy as np
 _MERSENNE_61 = (1 << 61) - 1
 _MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Version of the numpy MinHash construction (char_shingles + MinHasher).
+# The streaming near-dup gate persists these signatures in its rep state
+# (streaming/ingest.py) — signatures from different versions are
+# mutually incomparable, so any change to char_shingles/MinHasher MUST
+# bump this, making mixed-version state resumes fail loudly instead of
+# silently losing recall.  v1: blake2b shingle hashes, Mersenne-61
+# affine permutations (unchanged since round 1).
+MINHASH_KERNEL_VERSION = 1
+
 
 def stable_hash64(s: str | bytes) -> int:
     """Deterministic 64-bit hash (blake2b), stable across processes and

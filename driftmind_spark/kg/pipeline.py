@@ -242,10 +242,30 @@ def run(
     # re-clusters by bucket so every downstream stage keeps the aligned
     # shuffle-free write path.
     if dedup:
+        from ..operators.dedup import MINHASH_SIG_VERSION
+
         _desc("dedup")
         dedup_path = os.path.join(out_dir, "extracted_dedup")
         audit_path = os.path.join(out_dir, "dedup_audit")
-        if not ln.stage_marker_done(spark, out_dir, run_id, "dedup"):
+        if ln.stage_marker_done(spark, out_dir, run_id, "dedup"):
+            # Mixed-signature-version resume guard (round-6 advice): the
+            # committed tables' near-dup lineage came from the signature
+            # construction recorded at commit time; comparing or
+            # extending them under a bumped construction silently loses
+            # recall, so fail loudly instead.  (Version history:
+            # operators/dedup.py::MINHASH_SIG_VERSION.)
+            committed_v = ln.committed_row_count(
+                spark, out_dir, run_id, "dedup_sig_version"
+            )
+            if committed_v != MINHASH_SIG_VERSION:
+                raise RuntimeError(
+                    f"dedup tables under {out_dir} were committed with "
+                    f"signature version {committed_v or 'pre-versioning'}, "
+                    f"current code builds version {MINHASH_SIG_VERSION}; "
+                    "re-run dedup from scratch (fresh out_dir or run_id) "
+                    "instead of resuming across a signature break"
+                )
+        else:
             from ..operators.dedup import corpus_dedup
 
             docs = extracted.select(F.col("url").alias("doc_id"), "text")
@@ -270,8 +290,13 @@ def run(
                 spark.read.parquet(dedup_path).count(),
                 spark.read.parquet(audit_path).filter(~F.col("is_keeper")).count(),
             )
-            # dropped first: the 'dedup' row is the stage-done marker and
-            # must be the LAST commit (same ordering rule as nodes)
+            # dropped + sig-version first: the 'dedup' row is the
+            # stage-done marker and must be the LAST commit (same
+            # ordering rule as nodes)
+            ln.commit_global_stage(
+                spark, out_dir, run_id, "dedup_sig_version",
+                MINHASH_SIG_VERSION,
+            )
             ln.commit_global_stage(spark, out_dir, run_id, "dedup_dropped", n_dropped)
             ln.commit_global_stage(spark, out_dir, run_id, "dedup", n_kept)
         extracted = spark.read.parquet(dedup_path)

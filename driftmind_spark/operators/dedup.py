@@ -25,6 +25,17 @@ from ..functions.udfs import simhash_udf
 
 NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
 
+# Version of the ``_minhash_signatures`` construction.  Signatures from
+# different versions are mutually incomparable (the min-aggregation runs
+# over different gram sets), so persisted dedup outputs must carry this
+# tag and a resume across a bump must FAIL LOUDLY instead of silently
+# missing near-dups (round-6 advice).  History:
+#   v1  pure 1/sample_mod Broder mod-sampling (pre round 6)
+#   v2  first gram always kept (``(pmod(h,m)==0) | (pos==0)`` below) —
+#       changes essentially every production (portable=False) signature,
+#       not just short docs' (round 6)
+MINHASH_SIG_VERSION = 2
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicates by normalized-text hash: one row per distinct

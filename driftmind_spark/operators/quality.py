@@ -61,6 +61,14 @@ def quality_filter(
     suddenly rejects 40% of a crawl shows up as its reason's count, not
     as a silent corpus shrink)."""
     p = quality_params(**overrides)
+    # Re-application guard (round-6 advice): a frame that already carries
+    # the derived columns (a persisted judged/audit table fed back in)
+    # would otherwise get DUPLICATE column names from the select('*', ...)
+    # below and fail ambiguously downstream — drop stale verdicts first,
+    # mirroring chunk_dedup's guard (operators/passages.py).
+    derived = ["n_chars", "n_tokens", "punct_ratio", "stop_ratio",
+               "chars_per_token", "lang_guess", "reject_reasons", "keep"]
+    docs = docs.drop(*[c for c in derived if c in docs.columns])
     # NULL text folds to '' for FEATURE computation (the output columns
     # pass through untouched): without this, every threshold comparison
     # on a NULL feature is NULL, the F.when(cond, reason) falls through

@@ -614,3 +614,41 @@ def test_quality_filter_null_text_rejected(spark):
     assert got["ok"]["keep"]
     # the pass-through text column itself is untouched
     assert got["n"]["text"] is None
+
+
+def test_quality_filter_reapply_idempotent_columns(spark):
+    """Round-6 advice fix: quality_filter over a frame that ALREADY
+    carries the derived columns (a persisted judged table fed back in)
+    must drop the stale verdicts instead of producing duplicate column
+    names and ambiguous-column failures downstream."""
+    from driftmind_spark.operators.quality import quality_filter
+
+    docs = spark.createDataFrame(
+        [("a", "the and is not a with for " * 30), ("b", "x")],
+        "url string, text string",
+    )
+    judged = quality_filter(docs, langs=None)
+    again = quality_filter(judged, langs=None)  # was: duplicate columns
+    assert sorted(again.columns) == sorted(judged.columns)
+    a = {r["url"]: r for r in judged.collect()}
+    b = {r["url"]: r for r in again.collect()}
+    for u in a:
+        assert a[u]["keep"] == b[u]["keep"]
+        assert list(a[u]["reject_reasons"]) == list(b[u]["reject_reasons"])
+
+
+def test_dedup_resume_sig_version_guard(spark, dup_corpus, tmp_path_factory,
+                                        monkeypatch):
+    """Round-6 advice fix: resuming a run whose dedup tables were
+    committed under a different MinHash signature construction must fail
+    loudly — mixed-version signatures silently lose near-dup recall."""
+    import driftmind_spark.operators.dedup as dd
+
+    out = str(tmp_path_factory.mktemp("kg_sigv_out"))
+    run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8, dedup=True)
+    # same run_id, same code: resume is a no-op and succeeds
+    run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8, dedup=True)
+    # simulate a signature-construction bump, then resume
+    monkeypatch.setattr(dd, "MINHASH_SIG_VERSION", dd.MINHASH_SIG_VERSION + 1)
+    with pytest.raises(RuntimeError, match="signature version"):
+        run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8, dedup=True)

@@ -1757,3 +1757,256 @@ def test_stream_ingest_with_quality_gate(spark, tmp_path_factory):
     assert got.exceptAll(expect).count() == 0
     # no rejected page ever reached chunking
     assert got.join(rejected, "url", "left_semi").count() == 0
+
+
+def test_stream_ingest_recrawl_keeper_survives(spark, tmp_path_factory):
+    """Round-6 advice (medium) fix: a url recrawled within one
+    micro-batch has its second occurrence self-flagged by the fold
+    (dup_of = the url itself).  The drop set is per-EVENT (url, warc_ts),
+    so the keeper occurrence still reaches chunking — dropping by url
+    lost the content entirely (and its rep in state flagged every later
+    arrival too, so it never recovered)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.operators.chunking import build_chunks
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    import pandas as pd
+
+    pages, _ = generate_pages(6, min_sent=12, max_sent=20)
+    pdf = pages.to_pandas()
+    # synth plants blank/short-text docs at low indices — recrawl the
+    # longest doc so the keeper demonstrably produces chunks
+    ridx = int(pdf["text"].str.len().idxmax())
+    recrawl_url = pdf["url"].iloc[ridx]
+    # second occurrence of that url: identical content, 60s later
+    dup_row = pdf.iloc[[ridx]].copy()
+    dup_row["warc_ts"] = pdf["warc_ts"].iloc[ridx] + pd.Timedelta(seconds=60)
+    batch0 = pd.concat([pdf, dup_row], ignore_index=True)
+
+    d = str(tmp_path_factory.mktemp("recrawl_pages"))
+    p0 = f"{d}/part-0.parquet"
+    pq.write_table(pa.Table.from_pandas(batch0, schema=pages.schema,
+                                        preserve_index=False), p0)
+    os.utime(p0, (1_700_000_000, 1_700_000_000))
+    # batch 1: a THIRD occurrence (cross-batch recrawl) — flagged against
+    # the rep persisted in state, also dropped, keeper already chunked
+    third = pdf.iloc[[ridx]].copy()
+    third["warc_ts"] = pdf["warc_ts"].iloc[ridx] + pd.Timedelta(seconds=120)
+    p1 = f"{d}/part-1.parquet"
+    pq.write_table(pa.Table.from_pandas(third, schema=pages.schema,
+                                        preserve_index=False), p1)
+    os.utime(p1, (1_700_000_001, 1_700_000_001))
+
+    out = str(tmp_path_factory.mktemp("recrawl_out"))
+    ckpt = str(tmp_path_factory.mktemp("recrawl_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt)
+    q.awaitTermination(300)
+
+    flags = spark.read.parquet(f"{out}/dup_flags")
+    self_flags = flags.filter(
+        (F.col("url") == recrawl_url) & (F.col("dup_of") == recrawl_url)
+    )
+    assert self_flags.count() > 0  # both recrawl occurrences self-flagged
+
+    # the keeper occurrence's chunks exist EXACTLY once
+    got = spark.read.parquet(f"{out}/chunks").filter(
+        F.col("url") == recrawl_url
+    )
+    keeper = spark.createDataFrame(batch0[batch0.url == recrawl_url].iloc[[0]])
+    expect = build_chunks(keeper, with_embeddings=False)
+    assert got.count() == expect.count() > 0
+    assert (
+        got.select("url", "chunk_index", "content")
+        .exceptAll(expect.select("url", "chunk_index", "content"))
+        .count()
+        == 0
+    )
+
+
+def test_stream_ingest_composed_kg_matches_batch_pipeline(
+    spark, tmp_path_factory
+):
+    """Round-7 headline: the composed incremental path (quality off,
+    gate -> chunks -> triples -> per-batch nodes/edges rebuild) ends with
+    triples/nodes/edges IDENTICAL to the batch pipeline run over the same
+    kept set — the streaming mirror of kg/pipeline.py's stage order all
+    the way to the graph tables."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.kg.pipeline import run
+    from driftmind_spark.streaming.ingest import (
+        read_kg_snapshot,
+        stream_ingest,
+    )
+    from driftmind_spark.streaming.stateful import near_dup_flags_batch
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("kgstream_pages"))
+    for part in range(3):
+        pages, _ = generate_pages(30, start=part * 30, min_sent=8,
+                                  max_sent=14, dup_rate=0.15)
+        path = f"{d}/part-{part}.parquet"
+        pq.write_table(pages, path)
+        os.utime(path, (1_700_000_000 + part, 1_700_000_000 + part))
+
+    out = str(tmp_path_factory.mktemp("kgstream_out"))
+    ckpt = str(tmp_path_factory.mktemp("kgstream_ckpt"))
+    q = stream_ingest(
+        read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
+        triples=True, kg_every=1,
+    )
+    q.awaitTermination(300)
+
+    # the kept set, from the batch differential oracle of the gate
+    pages_all = spark.read.parquet(d)
+    dup_urls = (
+        near_dup_flags_batch(pages_all).filter("dup_of is not null")
+        .select("url").distinct()
+    )
+    kept = pages_all.join(dup_urls, "url", "left_anti")
+
+    # batch pipeline over the kept corpus (same knobs as the stream side)
+    corpus = str(tmp_path_factory.mktemp("kgstream_corpus"))
+    kept.write.parquet(f"{corpus}/pages.parquet")
+    bout = str(tmp_path_factory.mktemp("kgstream_bout"))
+    run(spark, corpus, bout, n_buckets=8, embedding_dim=64)
+
+    def _same(a, b, label):
+        cols = sorted(set(a.columns) & set(b.columns))
+        a, b = a.select(*cols), b.select(*cols)
+        assert a.count() == b.count() > 0, label
+        assert a.exceptAll(b).count() == 0, f"{label}: stream extra rows"
+        assert b.exceptAll(a).count() == 0, f"{label}: stream missing rows"
+
+    _same(
+        spark.read.parquet(f"{out}/triples").drop("batch_id"),
+        spark.read.parquet(f"{bout}/triples"),
+        "triples",
+    )
+    _same(read_kg_snapshot(spark, out, "nodes"),
+          spark.read.parquet(f"{bout}/nodes"), "nodes")
+    _same(read_kg_snapshot(spark, out, "edges"),
+          spark.read.parquet(f"{bout}/edges"), "edges")
+
+
+def test_stream_ingest_kg_restart_identity(spark, tmp_path_factory):
+    """Kill/resume with the KG stages on (kg_every=2 — rebuilds straddle
+    the restart): the resumed pipeline's triples table and final
+    nodes/edges snapshots equal a single uninterrupted run's."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import (
+        read_kg_snapshot,
+        stream_ingest,
+    )
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    parts = []
+    for part in range(4):
+        pages, _ = generate_pages(25, start=part * 25, min_sent=8,
+                                  max_sent=14, dup_rate=0.2)
+        parts.append(pages)
+
+    def _write(table, path, i):
+        pq.write_table(table, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    kw = dict(triples=True, kg_every=2)
+    d1 = str(tmp_path_factory.mktemp("kgr_pages"))
+    for i in range(2):
+        _write(parts[i], f"{d1}/part-{i}.parquet", i)
+    out_r = str(tmp_path_factory.mktemp("kgr_out"))
+    ckpt_r = str(tmp_path_factory.mktemp("kgr_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
+                      out_r, ckpt_r, **kw)
+    q.awaitTermination(300)
+    for i in range(2, 4):
+        _write(parts[i], f"{d1}/part-{i}.parquet", i)
+    q = stream_ingest(read_pages_stream(spark, d1, max_files_per_trigger=1),
+                      out_r, ckpt_r, **kw)
+    q.awaitTermination(300)
+
+    d2 = str(tmp_path_factory.mktemp("kgf_pages"))
+    for i in range(4):
+        _write(parts[i], f"{d2}/part-{i}.parquet", i)
+    out_f = str(tmp_path_factory.mktemp("kgf_out"))
+    ckpt_f = str(tmp_path_factory.mktemp("kgf_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d2, max_files_per_trigger=1),
+                      out_f, ckpt_f, **kw)
+    q.awaitTermination(300)
+
+    tri_cols = ["url", "subj", "pred", "obj", "conf"]
+    a = spark.read.parquet(f"{out_r}/triples").select(*tri_cols)
+    b = spark.read.parquet(f"{out_f}/triples").select(*tri_cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+
+    for table in ("nodes", "edges"):
+        sa = read_kg_snapshot(spark, out_r, table)
+        sb = read_kg_snapshot(spark, out_f, table)
+        cols = sorted(sa.columns)
+        assert sa.select(*cols).exceptAll(sb.select(*cols)).count() == 0, table
+        assert sb.select(*cols).exceptAll(sa.select(*cols)).count() == 0, table
+
+
+def test_stream_ingest_state_sig_version_guard(spark, tmp_path_factory):
+    """Round-6 advice: rep state persisted under a different signature
+    construction must make the resume FAIL LOUDLY (mixed-version
+    agreement checks silently lose recall)."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("sigv_pages"))
+    pages, _ = generate_pages(20, min_sent=8, max_sent=12)
+    p0 = f"{d}/part-0.parquet"
+    pq.write_table(pages, p0)
+    os.utime(p0, (1_700_000_000, 1_700_000_000))
+
+    out = str(tmp_path_factory.mktemp("sigv_out"))
+    ckpt = str(tmp_path_factory.mktemp("sigv_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt)
+    q.awaitTermination(300)
+
+    # tamper: rewrite the newest state version with a bogus sig_version
+    state_dirs = sorted(glob.glob(f"{out}/dedup_state/state_v=*"))
+    assert state_dirs
+    newest = state_dirs[-1]
+    tampered = spark.read.parquet(newest).withColumn(
+        "sig_version", F.lit(999)
+    )
+    tmp = newest + ".tmp"
+    tampered.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(newest)
+    os.rename(tmp, newest)
+
+    pages2, _ = generate_pages(20, start=20, min_sent=8, max_sent=12)
+    p1 = f"{d}/part-1.parquet"
+    pq.write_table(pages2, p1)
+    os.utime(p1, (1_700_000_001, 1_700_000_001))
+
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt)
+    with pytest.raises(Exception, match="signature version"):
+        q.awaitTermination(300)
+        raise AssertionError("query should have failed on tampered state")
