@@ -69,9 +69,28 @@ _SQL_STOPLIST = ", ".join("'" + w.replace("'", "''") + "'" for w in STOP_WORDS)
 _SQL_HELPER_STOP = ", ".join(
     "'" + w.replace("'", "''") + "'" for w in sorted(HELPER_STOP_WORDS)
 )
-_DE_MARKERS_SQL = ", ".join(f"'{w}'" for w in ts.DE_MARKERS)
-_EN_MARKERS_SQL = ", ".join(f"'{w}'" for w in ts.EN_MARKERS)
-_ALL_MARKERS_SQL = ", ".join(f"'{w}'" for w in (ts.DE_MARKERS + ts.EN_MARKERS))
+_MARKERS_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ms)
+    for lang, ms in ts.LANG_MARKERS.items()
+}
+_ALL_MARKERS_SQL = ", ".join(f"'{w}'" for w in ts.ALL_MARKERS)
+
+# lang_id oracle pieces, generated from the SAME marker dict the Spark
+# expressions use (round-7 multilingual extension): per-language hit
+# columns, then the unique-strict-max guess rule.
+_LANG_HITS_SQL = ",\n                   ".join(
+    f"len(list_filter(tk, x -> x in ({sql}))) as {lang}_hits"
+    for lang, sql in _MARKERS_SQL.items()
+)
+_LANG_MAX_SQL = "greatest(" + ", ".join(
+    f"{lang}_hits" for lang in _MARKERS_SQL
+) + ")"
+_LANG_TIES_SQL = " + ".join(
+    f"(({lang}_hits = mx)::int)" for lang in _MARKERS_SQL
+)
+_LANG_PICK_SQL = " ".join(
+    f"when {lang}_hits = mx then '{lang}'" for lang in _MARKERS_SQL
+)
 
 _QUERY_TERMS = ("table", "join", "data")  # relevance demo query (F5)
 
@@ -1305,17 +1324,20 @@ def oracle_sql() -> dict[str, str]:
                 select doc_id,
                        str_split_regex(lower(text), '\s+') as tk
                 from documents
+            ),
+            hits as (
+                select doc_id,
+                   {_LANG_HITS_SQL}
+                from toks
+            ),
+            mx as (
+                select *, {_LANG_MAX_SQL} as mx from hits
             )
-            select doc_id,
-                   len(list_filter(tk, x -> x in ({_DE_MARKERS_SQL}))) as de_hits,
-                   len(list_filter(tk, x -> x in ({_EN_MARKERS_SQL}))) as en_hits,
-                   case when len(list_filter(tk, x -> x in ({_DE_MARKERS_SQL})))
-                             > len(list_filter(tk, x -> x in ({_EN_MARKERS_SQL})))
-                        then 'de'
-                        when len(list_filter(tk, x -> x in ({_EN_MARKERS_SQL})))
-                             > len(list_filter(tk, x -> x in ({_DE_MARKERS_SQL})))
-                        then 'en' else 'unknown' end as lang_guess
-            from toks
+            select doc_id, {', '.join(f'{lang}_hits' for lang in _MARKERS_SQL)},
+                   case when mx > 0 and ({_LANG_TIES_SQL}) = 1
+                        then case {_LANG_PICK_SQL} end
+                        else 'unknown' end as lang_guess
+            from mx
         """,
         "token_counts": r"""
             select doc_id,

@@ -29,7 +29,16 @@ QUALITY_DEFAULTS: dict = {
     "min_chars": 80,          # fragments ("Short.") and empty pages
     "max_chars": None,        # no upper bound by default
     "min_tokens": 12,
-    "langs": ("en", "de"),    # lang_guess gate; None disables
+    # lang_guess allow-list.  The guesser knows every language in
+    # textstats.LANG_MARKERS (de/en/fr/es/pt as of round 7); any other
+    # language guesses 'unknown' and is REJECTED by this gate, so for a
+    # genuinely multilingual corpus either pass the full marker-dict
+    # key set (langs=tuple(LANG_MARKERS)) or set langs=None, which
+    # DISABLES the language check entirely (the other quality
+    # thresholds still apply — note stop_ratio counts ALL_MARKERS
+    # stopwords, so a language with no marker list will look
+    # stopword-poor and may need min_stop_ratio=0).
+    "langs": ("en", "de"),
     "min_stop_ratio": 0.02,   # gibberish has ~no stopwords
     "max_punct_ratio": 0.10,  # symbol/punctuation noise
     "max_chars_per_token": 14.0,  # unbroken base64/hash runs

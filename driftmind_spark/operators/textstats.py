@@ -10,9 +10,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Small fixed marker lists shared verbatim with the SQL oracles.
+# Small fixed marker lists shared verbatim with the SQL oracles.  The
+# per-language tuples are pairwise DISJOINT by construction (a shared
+# function word like fr/es "la" would count for both and manufacture
+# ties) — extending to a new language is one more tuple here plus its
+# mirror literal in the oracle SQL; the argmax guess rule below needs no
+# change (round-7: fr/es/pt added per the round-6 verdict).
 DE_MARKERS = ("der", "die", "und", "ist", "nicht", "das", "ein", "mit", "für", "auf")
 EN_MARKERS = ("the", "and", "is", "not", "a", "with", "for", "on", "of", "to")
+FR_MARKERS = ("le", "les", "et", "est", "une", "dans", "pas", "qui", "sur", "au")
+ES_MARKERS = ("el", "los", "las", "una", "es", "y", "con", "por", "del", "como")
+PT_MARKERS = ("o", "os", "as", "um", "uma", "é", "não", "em", "se", "mais")
+
+# Insertion order fixes the tie-inspection order everywhere (Python and
+# SQL build the same case chain from this dict).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": DE_MARKERS,
+    "en": EN_MARKERS,
+    "fr": FR_MARKERS,
+    "es": ES_MARKERS,
+    "pt": PT_MARKERS,
+}
+ALL_MARKERS: tuple[str, ...] = tuple(
+    w for ms in LANG_MARKERS.values() for w in ms
+)
 
 _WORD_SPLIT = r"\s+"
 
@@ -30,20 +51,32 @@ def lang_cols(text_col="text") -> dict[str, F.Column]:
     """The language-ID expressions as named columns — shared between the
     :func:`lang_id` frame (oracle-checked) and the quality pipeline
     stage (operators/quality.py), so both gate on the SAME guess.
-    Accepts a column name or a Column expression."""
+    Accepts a column name or a Column expression.
+
+    Guess rule (round-7, generalizes the old pairwise de/en compare):
+    the language with the UNIQUE strict maximum of marker hits; any tie
+    — including all-zero — is ``unknown``.  For two languages this is
+    exactly the old ``de > en`` / ``en > de`` rule."""
     toks = F.split(F.lower(_text(text_col)), _WORD_SPLIT)
-    de = _marker_hits(toks, DE_MARKERS)
-    en = _marker_hits(toks, EN_MARKERS)
-    guess = (
-        F.when(de > en, F.lit("de"))
-        .when(en > de, F.lit("en"))
-        .otherwise(F.lit("unknown"))
+    hits = {lang: _marker_hits(toks, ms) for lang, ms in LANG_MARKERS.items()}
+    mx = F.greatest(*hits.values())
+    n_at_max = sum(
+        (h == mx).cast("int") for h in hits.values()
     )
-    return {"de_hits": de, "en_hits": en, "lang_guess": guess}
+    guess = F.when(
+        (mx > 0) & (n_at_max == 1),
+        F.coalesce(*[
+            F.when(h == mx, F.lit(lang)) for lang, h in hits.items()
+        ]),
+    ).otherwise(F.lit("unknown"))
+    out = {f"{lang}_hits": h for lang, h in hits.items()}
+    out["lang_guess"] = guess
+    return out
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """N-gram-free stopword-marker language ID (en/de/unknown)."""
+    """N-gram-free stopword-marker language ID
+    (de/en/fr/es/pt/unknown)."""
     cols = lang_cols(text_col)
     return docs.select(
         "doc_id", *[c.alias(n) for n, c in cols.items()]
@@ -61,7 +94,7 @@ def quality_cols(text_col="text") -> dict[str, F.Column]:
     toks = F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda t: t != "")
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
-    stop_lit = F.array(*[F.lit(m) for m in (DE_MARKERS + EN_MARKERS)])
+    stop_lit = F.array(*[F.lit(m) for m in ALL_MARKERS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
     return {
         "n_chars": n_chars,

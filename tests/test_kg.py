@@ -652,3 +652,48 @@ def test_dedup_resume_sig_version_guard(spark, dup_corpus, tmp_path_factory,
     monkeypatch.setattr(dd, "MINHASH_SIG_VERSION", dd.MINHASH_SIG_VERSION + 1)
     with pytest.raises(RuntimeError, match="signature version"):
         run(spark, dup_corpus, out, embedding_dim=32, n_buckets=8, dedup=True)
+
+
+def test_quality_gate_multilingual_markers(spark):
+    """Round-7: the marker-list design extends beyond en/de — planted
+    fr/es/pt docs are guessed correctly, rejected as bad_lang under the
+    default en/de allow-list, kept once their language is allowed (or
+    the gate disabled with langs=None)."""
+    from driftmind_spark.operators.quality import quality_filter
+    from driftmind_spark.operators.textstats import LANG_MARKERS
+
+    docs = spark.createDataFrame(
+        [
+            ("fr", "le chat est dans la maison et les oiseaux qui "
+                   "chantent sur le toit ne sont pas au jardin une belle "
+                   "promenade dans le parc au bord de la riviere"),
+            ("es", "el perro corre por la calle y los gatos juegan como "
+                   "una fiesta del pueblo con los vecinos por la tarde y "
+                   "el sol brilla como siempre sobre las casas"),
+            ("pt", "o menino e os amigos em um dia de sol não se esquecem "
+                   "de uma história em que o mar é mais bonito se a praia "
+                   "é grande e o vento é mais calmo"),
+            ("en", "the quick brown fox jumps over the lazy dog and runs "
+                   "for the hills with a big smile on its face not once "
+                   "stopping to look at the sky of blue"),
+        ],
+        "url string, text string",
+    )
+    judged = {r["url"]: r for r in quality_filter(docs).collect()}
+    for lang in ("fr", "es", "pt", "en"):
+        assert judged[lang]["lang_guess"] == lang, (
+            lang, judged[lang]["lang_guess"])
+    for lang in ("fr", "es", "pt"):
+        assert not judged[lang]["keep"]
+        assert judged[lang]["reject_reasons"] == ["bad_lang"]
+    assert judged["en"]["keep"]
+
+    # allow-list extended to every known language: all pass
+    all_langs = tuple(LANG_MARKERS)
+    j2 = {r["url"]: r for r in
+          quality_filter(docs, langs=all_langs).collect()}
+    assert all(j2[u]["keep"] for u in j2)
+
+    # langs=None disables the language gate entirely
+    j3 = {r["url"]: r for r in quality_filter(docs, langs=None).collect()}
+    assert all(j3[u]["keep"] for u in j3)
