@@ -37,6 +37,8 @@ __all__ = [
     "passage_table",
     "passage_dedup",
     "apply_passage_dedup",
+    "passage_near_dedup",
+    "apply_passage_near_dedup",
     "chunk_dedup",
     "window_fingerprints",
     "window_dedup",
@@ -144,6 +146,188 @@ def apply_passage_dedup(
     The per-doc ``collect_list`` is bounded by document size (passages
     of one doc), not corpus size — driver-safe and executor-safe."""
     res = passage_dedup(docs, id_col, text_col, min_chars, min_repeats)
+    rebuilt = (
+        res.filter("is_kept")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("passage_idx", "passage"))
+                    ),
+                    lambda s: s.passage,
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
+def _passage_pid(doc_col="doc_id", idx_col="passage_idx") -> F.Column:
+    """Sortable scalar passage id: ``doc_id + '#' + zero-padded idx`` —
+    the single-column id the doc-level dedup machinery
+    (minhash_lsh_verified_pairs / dedup_resolution) keys on.  min() over
+    it is a deterministic total order, so keeper election is stable at
+    any parallelism; for doc ids without characters below '#' (0x23 —
+    true for urls) it coincides with the (doc_id, passage_idx) tuple
+    order ``passage_dedup`` uses."""
+    return F.concat(
+        F.col(doc_col), F.lit("#"),
+        F.lpad(F.col(idx_col).cast("string"), 9, "0"),
+    )
+
+
+def passage_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = 256,
+    min_agreement: float = 0.8,
+    small_graph_threshold: int = 200_000,
+) -> DataFrame:
+    """FUZZY passage-level dedup — :func:`passage_dedup`'s exact
+    fingerprint plus MinHash near-dup verification on top, so REWORDED
+    boilerplate (a license paragraph with one word changed, a nav block
+    with the year bumped) collapses too.  Same output contract:
+    ``(doc_id, passage_idx, passage, fingerprint, n_occurrences, n_docs,
+    keeper_doc_id, keeper_passage_idx, is_kept)``; keeper = minimum
+    passage id of the merged (exact ∪ near) cluster, first occurrence
+    wins, ``filter(is_kept)`` is the deduplicated passage corpus.
+
+    Composition is ``corpus_dedup`` one granularity down (the round-5
+    over-merge lesson applies unchanged): EXACT md5 groups first, so
+    MinHash runs over unique normalized passages only; candidate pairs
+    from capped LSH banding are VERIFIED by signature agreement before
+    transitive closure (operators/dedup.py::minhash_lsh_verified_pairs);
+    ``dedup_resolution`` closes verified pairs at the representative
+    level; every passage maps through its exact group's rep to the final
+    keeper.
+
+    Parameter deltas vs the doc-level defaults, sized for ~60-word
+    passages: ``bands=16`` (4-row bands — one reworded word in a 60-word
+    passage costs ``shingle_k`` word-grams, J ≈ 0.84, and 8-row bands
+    would miss ~10% of those candidates) and ``min_agreement=0.8``
+    (accepts J ≳ 0.8 clusters; boilerplate *siblings* — different
+    passages sharing common sentences — sit near J ≈ 0.5, far below).
+    The shorter bands produce more raw candidates, which is safe
+    BECAUSE every candidate is agreement-verified before closure, and
+    bounded because hot buckets stay capped (``max_bucket_size``).
+
+    Scale shape: passage text shuffles once (the md5 group's map-side
+    partial agg); signatures/banding/verification touch unique passages
+    only; the keeper mapping joins narrow (pid, fingerprint) rows; the
+    pair graph is dictionary-sized (verified near-dups), so CC stays on
+    the driver union-find path below ``small_graph_threshold``.
+    Ineligible passages (< ``min_chars`` normalized — headings, short
+    common sentences) are always kept, as in :func:`passage_dedup`."""
+    from .dedup import dedup_resolution, minhash_lsh_verified_pairs
+
+    p = passage_table(docs, id_col, text_col)
+    eligible_cond = F.length(_norm(F.col("passage"))) >= min_chars
+    eligible = p.filter(eligible_cond).withColumn("pid", _passage_pid())
+
+    groups = eligible.groupBy("fingerprint").agg(
+        F.min(
+            F.struct(
+                F.col("pid"),
+                F.col("doc_id").alias("rep_doc_id"),
+                F.col("passage_idx").alias("rep_passage_idx"),
+            )
+        ).alias("rep"),
+        # min_by partial-aggregates map-side: the shuffle carries one
+        # candidate text per distinct fingerprint, not every copy
+        F.min_by("passage", "pid").alias("passage"),
+    )
+    reps = groups.select(F.col("rep.pid").alias("doc_id"), "passage")
+    pairs = minhash_lsh_verified_pairs(
+        reps, text_col="passage", num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, max_bucket_size=max_bucket_size,
+        min_agreement=min_agreement, portable=False,
+    )
+    rep_res = dedup_resolution(
+        reps.select("doc_id"), pairs,
+        small_graph_threshold=small_graph_threshold,
+    )
+
+    assigned = (
+        eligible.select("doc_id", "passage_idx", "passage", "fingerprint",
+                        "pid")
+        .join(
+            groups.select("fingerprint", F.col("rep.pid").alias("rep_pid")),
+            "fingerprint",
+        )
+        .join(
+            rep_res.select(
+                F.col("doc_id").alias("rep_pid"), "keeper_id"
+            ),
+            "rep_pid",
+        )
+    )
+    sizes = assigned.groupBy("keeper_id").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    # keeper decode: the keeper pid is always some exact group's rep, so
+    # the (pid -> doc, idx) dictionary comes from `groups` — no string
+    # parsing of composite ids
+    decode = groups.select(
+        F.col("rep.pid").alias("keeper_id"),
+        F.col("rep.rep_doc_id").alias("keeper_doc_id"),
+        F.col("rep.rep_passage_idx").alias("keeper_passage_idx"),
+    )
+    clustered = F.col("n_occurrences") >= 2
+    out_eligible = (
+        assigned.join(sizes, "keeper_id")
+        .join(decode, "keeper_id")
+        .select(
+            "doc_id",
+            "passage_idx",
+            "passage",
+            "fingerprint",
+            F.when(clustered, F.col("n_occurrences")).alias("n_occurrences"),
+            F.when(clustered, F.col("n_docs")).alias("n_docs"),
+            F.when(clustered, F.col("keeper_doc_id")).alias("keeper_doc_id"),
+            F.when(clustered, F.col("keeper_passage_idx")).alias(
+                "keeper_passage_idx"
+            ),
+            (~clustered | (F.col("pid") == F.col("keeper_id"))).alias(
+                "is_kept"
+            ),
+        )
+    )
+    out_ineligible = p.filter(~eligible_cond).select(
+        "doc_id",
+        "passage_idx",
+        "passage",
+        "fingerprint",
+        F.lit(None).cast("long").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("string").alias("keeper_doc_id"),
+        F.lit(None).cast("int").alias("keeper_passage_idx"),
+        F.lit(True).alias("is_kept"),
+    )
+    return out_eligible.unionByName(out_ineligible)
+
+
+def apply_passage_near_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    **near_opts,
+) -> DataFrame:
+    """Rebuild documents with near-repeated passages removed — the
+    :func:`apply_passage_dedup` contract over :func:`passage_near_dedup`
+    (every input doc appears; an all-dropped doc comes back empty)."""
+    res = passage_near_dedup(docs, id_col, text_col, min_chars, **near_opts)
     rebuilt = (
         res.filter("is_kept")
         .groupBy("doc_id")

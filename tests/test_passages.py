@@ -264,3 +264,118 @@ def test_apply_window_dedup_removes_repeats_keeps_all_docs(spark):
     assert got["b"] == tail
     assert got["c"] == "totally unique little document"
     assert got["d"] == ""
+
+
+# ~100 words of license-ish boilerplate: one reworded word costs
+# shingle_k=5 word-grams, so variants sit at J ~= 0.9 — inside the
+# min_agreement=0.8 verification band with ~2-sigma margin, while
+# distinct passages sit near J = 0.
+LONG_BOILER = (
+    "this software is provided by the copyright holders and contributors "
+    "as is and any express or implied warranties including but not "
+    "limited to the implied warranties of merchantability and fitness "
+    "for a particular purpose are disclaimed in no event shall the "
+    "copyright owner or contributors be liable for any direct indirect "
+    "incidental special exemplary or consequential damages including but "
+    "not limited to procurement of substitute goods or services loss of "
+    "use data or profits or business interruption however caused and on "
+    "any theory of liability whether in contract strict liability or "
+    "tort arising in any way out of the use of this software even if "
+    "advised of the possibility of such damage"
+)
+
+
+def _reworded_corpus(n=6):
+    """n docs, each = one unique paragraph + the boilerplate with ONE
+    word reworded differently per doc (so every passage fingerprint is
+    unique and the exact layer is provably blind)."""
+    words = LONG_BOILER.split()
+    rows = []
+    for i in range(n):
+        w = list(words)
+        w[20] = f"reworded{i}"
+        uniq = " ".join(f"unique{i}w{j}" for j in range(15))
+        rows.append((f"doc{i}", f"{uniq}\n\n{' '.join(w)}"))
+    return rows
+
+
+def test_passage_near_dedup_catches_reworded_boilerplate(spark):
+    """Round-7: the fuzzy layer catches what the exact fingerprint
+    misses — reworded boilerplate collapses to its first occurrence,
+    distinct paragraphs are untouched (precision)."""
+    docs = _docs(spark, _reworded_corpus(6))
+
+    # exact layer provably blind: every fingerprint unique, nothing drops
+    assert ps.passage_dedup(docs, min_chars=50).filter(
+        "not is_kept").count() == 0
+
+    rows = {(r["doc_id"], r["passage_idx"]): r
+            for r in ps.passage_near_dedup(docs, min_chars=50).collect()}
+    dropped = sorted(k for k, r in rows.items() if not r["is_kept"])
+    # recall: all non-first boilerplate variants dropped
+    assert dropped == [(f"doc{i}", 1) for i in range(1, 6)]
+    keeper = rows[("doc0", 1)]
+    assert keeper["is_kept"]
+    assert keeper["n_occurrences"] == 6 and keeper["n_docs"] == 6
+    for i in range(1, 6):
+        r = rows[(f"doc{i}", 1)]
+        assert r["keeper_doc_id"] == "doc0"
+        assert r["keeper_passage_idx"] == 1
+    # precision: every unique paragraph kept, keeper columns NULL
+    for i in range(6):
+        r = rows[(f"doc{i}", 0)]
+        assert r["is_kept"] and r["keeper_doc_id"] is None
+
+
+def test_passage_near_dedup_exact_and_near_merge(spark):
+    """Verbatim copies collapse through the exact md5 group (fast path)
+    and merge with reworded variants into ONE cluster — keeper = global
+    minimum (doc_id, passage_idx) across both layers."""
+    words = LONG_BOILER.split()
+    w = list(words)
+    w[20] = "rewordedx"
+    docs = _docs(spark, [
+        ("a", f"{' '.join(f'uaw{j}' for j in range(15))}\n\n{LONG_BOILER}"),
+        ("b", f"{LONG_BOILER}\n\n{' '.join(f'ubw{j}' for j in range(15))}"),
+        ("c", f"{' '.join(f'ucw{j}' for j in range(15))}\n\n{' '.join(w)}"),
+    ])
+    rows = {(r["doc_id"], r["passage_idx"]): r
+            for r in ps.passage_near_dedup(docs, min_chars=50).collect()}
+    # one cluster of 3 (a#1 exact= b#0, near= c#1); keeper = (a, 1)
+    for k in [("a", 1), ("b", 0), ("c", 1)]:
+        assert rows[k]["n_occurrences"] == 3
+        assert rows[k]["keeper_doc_id"] == "a"
+        assert rows[k]["keeper_passage_idx"] == 1
+    assert rows[("a", 1)]["is_kept"]
+    assert not rows[("b", 0)]["is_kept"]
+    assert not rows[("c", 1)]["is_kept"]
+
+
+def test_passage_near_dedup_short_and_null_kept(spark):
+    """Ineligible (short) passages and NULL-text docs follow the
+    passage_dedup family rules: always kept, never vanish."""
+    docs = _docs(spark, [
+        ("n", None),
+        ("s", "Tiny.\n\nAlso small."),
+        ("t", "Tiny.\n\nAlso small."),
+    ])
+    res = ps.passage_near_dedup(docs, min_chars=50)
+    assert res.filter("not is_kept").count() == 0
+    assert {r["doc_id"] for r in res.select("doc_id").collect()} == \
+        {"n", "s", "t"}
+
+
+def test_apply_passage_near_dedup_idempotent(spark):
+    """Rebuilding then re-running is a fixed point: the surviving
+    boilerplate occurrence is unique corpus-wide, so nothing else
+    drops."""
+    docs = _docs(spark, _reworded_corpus(5))
+    rebuilt = ps.apply_passage_near_dedup(docs)
+    assert rebuilt.count() == 5
+    again = ps.passage_near_dedup(rebuilt, min_chars=50)
+    assert again.filter("not is_kept").count() == 0
+    # doc0 kept its boilerplate, doc1..4 only their unique paragraph
+    texts = {r["doc_id"]: r["text"] for r in rebuilt.collect()}
+    assert "reworded0" in texts["doc0"]
+    for i in range(1, 5):
+        assert "liability" not in texts[f"doc{i}"]

@@ -206,6 +206,26 @@ def test_passage_dedup_plan_partial_agg_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_passage_near_dedup_plan_shapes(spark):
+    """Round-7 fuzzy layer: signatures are JVM long arithmetic
+    (portable=False word-grams — zero Python crossings), keeper
+    election still partial-aggregates map-side, and nothing degenerates
+    to a cartesian product."""
+    from driftmind_spark.operators.passages import passage_near_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    plan = (
+        passage_near_dedup(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_chunk_dedup_plan_shapes(spark):
     """Same contract over an existing chunks-shaped table."""
     from driftmind_spark.operators.passages import chunk_dedup
