@@ -381,7 +381,8 @@ def test_dedup_kill_and_resume_identical(spark, dup_corpus, tmp_path_factory):
             dedup=True, fail_after_stage="dedup")
     lin = spark.read.parquet(f"{out_killed}/lineage")
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
-    assert stages == {"extract", "dedup", "dedup_dropped"}
+    assert stages == {"extract", "dedup", "dedup_dropped",
+                      "dedup_sig_version"}
     assert not os.path.exists(f"{out_killed}/chunks")
 
     run(spark, dup_corpus, out_killed, embedding_dim=32, n_buckets=8, dedup=True)
