@@ -379,3 +379,58 @@ def test_apply_passage_near_dedup_idempotent(spark):
     assert "reworded0" in texts["doc0"]
     for i in range(1, 5):
         assert "liability" not in texts[f"doc{i}"]
+
+
+def test_passage_near_dedup_synth_corpus_recall_precision(spark):
+    """Synth-corpus validation (the round-7 'done' bar): every page of a
+    real 500-doc synth corpus gets the same ~70-word boilerplate with
+    one word reworded per crc32(doc_id)%7 family — the exact layer
+    collapses WITHIN each family (verbatim copies) but must leave one
+    surviving copy per family, and the fuzzy layer must merge the
+    families (pairwise J >~ 0.84, verified, transitively closed) into
+    ONE cluster.  Precision: rebuild keeps every doc and exactly one
+    surviving boilerplate copy corpus-wide."""
+    boiler = ("all content on this site is provided without any warranty "
+              "of correctness completeness or fitness for a particular "
+              "purpose and the operators accept no liability whatsoever "
+              "for damages arising from the use of this material "
+              "including direct indirect or consequential losses however "
+              "caused and on any theory of liability whether contract or "
+              "tort or otherwise even when advised of the possibility of "
+              "such damage in advance by any party")
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .withColumn(
+            "variant",
+            F.regexp_replace(
+                F.lit(boiler), "warranty",
+                F.concat(F.lit("warranty"), F.crc32("doc_id") % 7),
+            ),
+        )
+        .select("doc_id", F.concat_ws("\n\n", "text", "variant").alias("text"))
+    )
+    n_docs = docs.count()
+
+    # exact layer stops at the family boundary: one keeper per reworded
+    # family survives (7 near-identical copies corpus-wide)
+    exact = ps.passage_dedup(docs, min_chars=50)
+    assert exact.filter(
+        F.col("passage").contains("liability whatsoever")
+        & F.col("is_kept")
+    ).count() == 7
+
+    res = ps.passage_near_dedup(docs, min_chars=50).cache()
+    planted = res.filter(F.col("passage").contains("liability whatsoever"))
+    n_planted = planted.count()
+    assert n_planted == n_docs
+    # recall: one keeper corpus-wide, every other variant dropped
+    assert planted.filter("is_kept").count() == 1
+    assert planted.filter("not is_kept").count() == n_docs - 1
+
+    rebuilt = ps.apply_passage_near_dedup(docs, min_chars=50)
+    assert rebuilt.count() == n_docs
+    assert rebuilt.filter(
+        F.col("text").contains("liability whatsoever")
+    ).count() == 1
+    res.unpersist()
