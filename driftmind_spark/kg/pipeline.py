@@ -34,9 +34,7 @@ from pyspark.sql import functions as F
 
 from ..operators.chunking import build_chunks, extract_text_table
 from . import lineage as ln
-from .blocking import candidate_pairs, mentions_from_triples
-from .cc import canonical_mapping, connected_components
-from .linking import all_link_edges
+from .graph import build_edges, build_nodes
 from .triples import extract_triples_df
 
 
@@ -413,19 +411,11 @@ def run(
     _desc("nodes")
     nodes_path = os.path.join(out_dir, "nodes")
     if not ln.stage_marker_done(spark, out_dir, run_id, "nodes"):
-        mentions = mentions_from_triples(triples).cache()
-        pairs = candidate_pairs(mentions)
-        # the link-edge list is dictionary-sized (LSH-capped pairs over
-        # distinct surfaces) but its lineage holds every linking UDF
-        # stage — cache it so CC's path-decision collect doesn't re-run
-        # the banding/jaccard/embedding work
-        link_edges = all_link_edges(mentions, aliases, pairs,
-                                    embedding_dim=embedding_dim).cache()
-        components = connected_components(
-            mentions.select("mention_id"), link_edges
-        )
-        nodes = canonical_mapping(mentions, components).withColumn(
-            "bucket", F.pmod(F.xxhash64("canonical_id"), F.lit(n_buckets)).cast("int")
+        # dataflow lives in kg/graph.py — shared with the streaming
+        # rebuild (streaming/ingest.py), so the two paths cannot drift
+        nodes, caches = build_nodes(
+            triples, aliases, embedding_dim=embedding_dim,
+            n_buckets=n_buckets,
         )
         _write_bucketed(nodes, nodes_path)
         # one read-back pass computes BOTH lineage metrics (row count and
@@ -444,8 +434,8 @@ def run(
             spark, out_dir, run_id, "nodes_components", n_components
         )
         ln.commit_global_stage(spark, out_dir, run_id, "nodes", n_nodes)
-        link_edges.unpersist()
-        mentions.unpersist()
+        for c in caches:
+            c.unpersist()
     nodes = spark.read.parquet(nodes_path)
     metrics["nodes"] = ln.committed_row_count(spark, out_dir, run_id, "nodes")
     metrics["components"] = ln.committed_row_count(
@@ -459,47 +449,9 @@ def run(
     _desc("edges")
     edges_path = os.path.join(out_dir, "edges")
     if not ln.stage_marker_done(spark, out_dir, run_id, "edges"):
-        canon = nodes.select(
-            F.col("surface"),
-            F.col("canonical_id"),
-            F.col("canonical_surface"),
-        )
-        # the canonical map is |distinct surfaces| — broadcastable here; at
-        # 10^12 docs it is still dictionary-sized (Zipf), but if it ever
-        # exceeds the broadcast cap Catalyst falls back to SMJ on `surface`.
-        b_canon = F.broadcast(canon)
-        edges = (
-            triples
-            .join(
-                b_canon.withColumnRenamed("canonical_id", "subj_id")
-                .withColumnRenamed("canonical_surface", "subj_canonical"),
-                triples.subj == F.col("surface"),
-            )
-            .drop("surface")
-            .join(
-                b_canon.withColumnRenamed("canonical_id", "obj_id")
-                .withColumnRenamed("canonical_surface", "obj_canonical"),
-                triples.obj == F.col("surface"),
-            )
-            .drop("surface")
-            .select(
-                "subj_id", "subj_canonical", "pred", "obj_id", "obj_canonical",
-                "url", "warc_ts", "conf",
-            )
-            # SALTED partitioning key (explicit skew mitigation,
-            # north_rule): hash the (subject, obj-derived salt) PAIR so a
-            # hot head subject spreads over `salt` pseudo-random buckets.
-            # (Multiplying a bucket id by the salt and re-modding collapses
-            # to a fixed residue class — measured max-bucket share stayed
-            # 2x too high; hashing the composite key does not.)
-            .withColumn(
-                "bucket",
-                F.pmod(
-                    F.xxhash64("subj_id", F.pmod(F.xxhash64("obj_id"), F.lit(salt))),
-                    F.lit(n_buckets),
-                ).cast("int"),
-            )
-        )
+        # broadcast canonical-map join + salted bucket key — shared core
+        # in kg/graph.py (see there for the skew-mitigation rationale)
+        edges = build_edges(triples, nodes, salt=salt, n_buckets=n_buckets)
         _write_bucketed(edges, edges_path)
         ln.commit_global_stage(
             spark, out_dir, run_id, "edges",

@@ -70,14 +70,28 @@ def quality_filter(
     suddenly rejects 40% of a crawl shows up as its reason's count, not
     as a silent corpus shrink)."""
     p = quality_params(**overrides)
-    # Re-application guard (round-6 advice): a frame that already carries
-    # the derived columns (a persisted judged/audit table fed back in)
-    # would otherwise get DUPLICATE column names from the select('*', ...)
-    # below and fail ambiguously downstream — drop stale verdicts first,
-    # mirroring chunk_dedup's guard (operators/passages.py).
+    # Re-application guard (round-6 advice, tightened round-7): a frame
+    # that already carries the derived columns (a persisted judged/audit
+    # table fed back in) would otherwise get DUPLICATE column names from
+    # the select('*', ...) below and fail ambiguously downstream.  Stale
+    # verdicts are dropped ONLY when ALL derived names are present — the
+    # judged-table shape, unambiguously this gate's own output.  A
+    # PARTIAL collision (a frame with its own unrelated 'keep' or
+    # 'n_chars' column) is indistinguishable from user data, and
+    # silently replacing it with the gate's verdict is data loss — fail
+    # loudly and let the caller rename instead.
     derived = ["n_chars", "n_tokens", "punct_ratio", "stop_ratio",
                "chars_per_token", "lang_guess", "reject_reasons", "keep"]
-    docs = docs.drop(*[c for c in derived if c in docs.columns])
+    present = [c for c in derived if c in docs.columns]
+    if len(present) == len(derived):
+        docs = docs.drop(*derived)
+    elif present:
+        raise ValueError(
+            f"quality_filter: input columns {present} collide with the "
+            "gate's derived columns but the full judged-table column set "
+            "is not present — cannot tell user data from stale verdicts; "
+            "rename or drop them before calling quality_filter"
+        )
     # NULL text folds to '' for FEATURE computation (the output columns
     # pass through untouched): without this, every threshold comparison
     # on a NULL feature is NULL, the F.when(cond, reason) falls through

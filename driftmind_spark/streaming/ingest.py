@@ -57,7 +57,7 @@ from ..kernels.hashing import MINHASH_KERNEL_VERSION
 STATE_SCHEMA = (
     "band_idx int, band_hash bigint, url string, warc_ts timestamp, "
     "sig array<bigint>, rep_order int, bucket_latest timestamp, "
-    "sig_version int"
+    "sig_version int, sig_params string"
 )
 GATE_OUT_SCHEMA = (
     "kind string, band_idx int, band_hash bigint, url string, "
@@ -169,19 +169,143 @@ def _prune_state(spark, state_dir, keep_from):
     _prune_versions(spark, state_dir, keep_from)
 
 
+def _prune_keep_last(spark: SparkSession, base_dir: str, keep: int = 2,
+                     prefix: str = "snap_v=") -> None:
+    """Delete all but the newest ``keep`` COMMITTED versions, plus any
+    uncommitted debris older than the newest committed one (a crashed
+    rebuild's half-written directory — its batch will be replayed at the
+    same or a higher version)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return
+    committed, uncommitted = [], []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        v = int(name.split("=", 1)[1])
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            committed.append(v)
+        else:
+            uncommitted.append(v)
+    committed.sort()
+    drop = set(committed[:-keep] if keep else committed)
+    if committed:
+        drop |= {v for v in uncommitted if v < committed[-1]}
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"{prefix}{v}"), True)
+
+
+def latest_kg_snapshot_version(
+    spark: SparkSession, out_dir: str
+) -> int | None:
+    """Newest COMMITTED (paired, ``_SUCCESS``-gated) KG snapshot version
+    under ``{out_dir}/kg``, or None if no rebuild has completed yet."""
+    return _latest_version(
+        spark, posixpath.join(out_dir, "kg"), prefix="snap_v="
+    )
+
+
 def read_kg_snapshot(
     spark: SparkSession, out_dir: str, table: str
 ) -> DataFrame | None:
     """Newest committed nodes/edges snapshot written by
     :func:`stream_ingest` (``table`` in {'nodes', 'edges'}), or None if
-    no rebuild has completed yet.  Snapshots are versioned directories
-    (``snap_v=<batch_id>``) gated on ``_SUCCESS`` so a reader never
-    observes a half-written rebuild."""
-    base = posixpath.join(out_dir, table)
-    v = _latest_version(spark, base, prefix="snap_v=")
+    no rebuild has completed yet.  Nodes and edges live in ONE versioned
+    snapshot directory (``{out_dir}/kg/snap_v=<batch_id>/{nodes,edges}``)
+    behind a SINGLE root ``_SUCCESS`` marker written only after both
+    tables, so a reader can never pair a nodes table with an edges table
+    from a different rebuild (round-7 self-review: per-table versioning
+    let the two prune/commit independently, and a crash between the two
+    writes paired edges with a different linking run's nodes)."""
+    if table not in ("nodes", "edges"):
+        raise ValueError(f"table must be 'nodes' or 'edges', got {table!r}")
+    v = latest_kg_snapshot_version(spark, out_dir)
     if v is None:
         return None
-    return spark.read.parquet(posixpath.join(base, f"snap_v={v}"))
+    return spark.read.parquet(
+        posixpath.join(out_dir, "kg", f"snap_v={v}", table)
+    )
+
+
+def rebuild_kg_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    version: int,
+    aliases: DataFrame | None = None,
+    n_buckets: int = 8,
+    embedding_dim: int = 64,
+    salt: int = 8,
+    triples_schema=None,
+) -> bool:
+    """The batch pipeline's nodes + edges stages (shared dataflow:
+    kg/graph.py — the batch stages wrap the same functions with lineage
+    commits that have no streaming analog) over the FULL accumulated
+    ``{out_dir}/triples`` table, written as ONE paired versioned
+    snapshot ``{out_dir}/kg/snap_v=<version>/{nodes,edges}`` committed
+    by a single root ``_SUCCESS`` marker AFTER both tables.  A replayed
+    batch first retracts its own marker, then rewrites the same
+    deterministic snapshot — readers fall back to the previous committed
+    pair (pruning keeps two) for the duration.
+
+    Returns False without writing when the accumulated triples table is
+    still empty — e.g. every batch so far was quality-rejected: an
+    all-junk prefix writes partition directories with no parquet
+    footers, so a plain read would throw a schema-inference error and
+    kill the whole stream (pass ``triples_schema`` to make the empty
+    read well-defined; :func:`stream_ingest` always does).  An empty
+    graph is represented by "no snapshot yet" (:func:`read_kg_snapshot`
+    -> None), not by an empty pair.
+
+    Also callable directly after an ``availableNow`` run to fold a
+    trailing-batch remainder into a final snapshot when the batch count
+    is not a multiple of ``kg_every`` (scripts/stream_ingest_bench.py).
+    """
+    from ..kg.graph import build_edges, build_nodes
+
+    tri_dir = posixpath.join(out_dir, "triples")
+    reader = spark.read
+    if triples_schema is not None:
+        reader = reader.schema(triples_schema)
+    try:
+        triples_all = reader.parquet(tri_dir)
+    except Exception:
+        if triples_schema is not None:
+            raise
+        return False  # no readable triples yet (schema-less direct call)
+    if triples_all.isEmpty():
+        return False
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    snap = posixpath.join(out_dir, "kg", f"snap_v={version}")
+    marker = jvm.org.apache.hadoop.fs.Path(snap, "_SUCCESS")
+    fs = marker.getFileSystem(conf)
+    if fs.exists(marker):
+        fs.delete(marker, False)  # replay: retract before rewriting
+
+    nodes, caches = build_nodes(
+        triples_all, aliases, embedding_dim=embedding_dim,
+        n_buckets=n_buckets,
+    )
+    nodes_path = posixpath.join(snap, "nodes")
+    nodes.write.mode("overwrite").parquet(nodes_path)
+    for c in caches:
+        c.unpersist()
+
+    # edges from the MATERIALIZED nodes snapshot (the batch stage's
+    # read-back shape: re-deriving nodes per join side would re-run the
+    # whole linking lineage twice)
+    nodes_t = spark.read.parquet(nodes_path)
+    edges = build_edges(triples_all, nodes_t, salt=salt, n_buckets=n_buckets)
+    edges.write.mode("overwrite").parquet(posixpath.join(snap, "edges"))
+
+    fs.create(marker, True).close()
+    _prune_keep_last(spark, posixpath.join(out_dir, "kg"), keep=2)
+    return True
 
 
 def stream_ingest(
@@ -232,11 +356,12 @@ def stream_ingest(
     same bucket column as the batch triples table), and ``kg_every=k``
     additionally rebuilds the nodes/edges tables every k-th batch from
     the FULL accumulated triples table — the batch pipeline's linking /
-    CC / canonicalization stages (kg/pipeline.py:387-482) run in-line,
-    writing ``_SUCCESS``-gated versioned snapshots
-    (``{out_dir}/nodes/snap_v=<batch_id>``, read via
-    :func:`read_kg_snapshot`) so readers never see a half-built graph
-    and a replayed batch rewrites its own snapshot deterministically.
+    CC / canonicalization stages (shared dataflow: kg/graph.py) run
+    in-line via :func:`rebuild_kg_snapshot`, writing PAIRED versioned
+    snapshots (``{out_dir}/kg/snap_v=<batch_id>/{nodes,edges}`` behind
+    one root ``_SUCCESS``, read via :func:`read_kg_snapshot`) so readers
+    never see a half-built graph or a mismatched nodes/edges pair, and a
+    replayed batch rewrites its own snapshot deterministically.
     The rebuild is global by nature (entity linking spans the whole
     corpus, exactly like the batch nodes stage); its cost grows with
     the distinct-surface dictionary, so pick ``kg_every`` by snapshot
@@ -248,6 +373,23 @@ def stream_ingest(
     if kg_every is not None and not triples:
         raise ValueError("kg_every requires triples=True")
     min_slots = int(-(-min_agreement * num_perm // 1))
+    # Everything that makes two signatures comparable: the kernel
+    # construction version AND the construction parameters.  num_perm
+    # changes the signature length (zip-truncated agreement can never
+    # reach min_slots), bands/shingle_k change band_hash keys and
+    # signature content — parameter drift across a resume is exactly as
+    # recall-destroying as a kernel bump, so both are persisted with the
+    # state and both fail loudly on mismatch (round-7 self-review).
+    # min_agreement is NOT stamped: it is a comparison threshold, not
+    # part of the signature construction — retuning it across a restart
+    # is legitimate.
+    sig_params = f"num_perm={num_perm};bands={bands};shingle_k={shingle_k}"
+    # The persisted-state compatibility probe only needs to run on the
+    # FIRST batch that loads state after a (re)start: every state
+    # version this query writes later carries the current constants, so
+    # re-probing each batch would re-scan the whole state table per
+    # micro-batch for an invariant that cannot break mid-query.
+    state_checked = [False]
     state_dir = posixpath.join(out_dir, "dedup_state")
     flags_dir = posixpath.join(out_dir, "dup_flags")
     chunks_dir = posixpath.join(out_dir, "chunks")
@@ -301,29 +443,39 @@ def stream_ingest(
             reps = spark.read.parquet(
                 posixpath.join(state_dir, f"state_v={base_v}")
             )
-            # Mixed-signature-version resume detection (round-6 advice):
-            # rep signatures from an older construction never agree with
+            # Mixed-signature resume detection (round-6 advice + round-7
+            # params extension): rep signatures from an older kernel OR
+            # a different (num_perm, bands, shingle_k) never agree with
             # current arrivals, so recall would silently collapse — fail
-            # loudly instead.  The state table is bounded (max_reps per
-            # active bucket), so the probe is cheap.
-            if "sig_version" not in reps.columns:
-                raise RuntimeError(
-                    f"dedup state {state_dir}/state_v={base_v} predates "
-                    "signature versioning; it was built by an older "
-                    "signature construction and cannot be resumed — "
-                    "restart the ingest with a fresh out_dir/checkpoint"
-                )
-            stale = reps.filter(
-                F.col("sig_version") != MINHASH_KERNEL_VERSION
-            ).select("sig_version").first()
-            if stale is not None:
-                raise RuntimeError(
-                    f"dedup state {state_dir}/state_v={base_v} holds "
-                    f"signature version {stale[0]}, current code builds "
-                    f"version {MINHASH_KERNEL_VERSION}; mixed-version "
-                    "near-dup comparison silently loses recall — "
-                    "restart the ingest with a fresh out_dir/checkpoint"
-                )
+            # loudly instead.  Runs once per query (first state load);
+            # the state table is bounded (max_reps per active bucket),
+            # so even that one probe is cheap.
+            if not state_checked[0]:
+                missing = [c for c in ("sig_version", "sig_params")
+                           if c not in reps.columns]
+                if missing:
+                    raise RuntimeError(
+                        f"dedup state {state_dir}/state_v={base_v} "
+                        f"predates signature stamping (no {missing}); it "
+                        "was built by an older signature construction "
+                        "and cannot be resumed — restart the ingest "
+                        "with a fresh out_dir/checkpoint"
+                    )
+                stale = reps.filter(
+                    (F.col("sig_version") != MINHASH_KERNEL_VERSION)
+                    | (F.col("sig_params") != sig_params)
+                ).select("sig_version", "sig_params").first()
+                if stale is not None:
+                    raise RuntimeError(
+                        f"dedup state {state_dir}/state_v={base_v} holds "
+                        f"signature version {stale[0]} with params "
+                        f"[{stale[1]}], current code builds version "
+                        f"{MINHASH_KERNEL_VERSION} with [{sig_params}]; "
+                        "mixed-signature near-dup comparison silently "
+                        "loses recall — restart the ingest with a fresh "
+                        "out_dir/checkpoint (or the original params)"
+                    )
+                state_checked[0] = True
         folded = (
             banded.groupby("band_idx", "band_hash")
             .cogroup(reps.groupby("band_idx", "band_hash"))
@@ -345,7 +497,9 @@ def stream_ingest(
         new_state = folded.filter(F.col("kind") == "rep").select(
             "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order",
             "bucket_latest",
-        ).withColumn("sig_version", F.lit(MINHASH_KERNEL_VERSION))
+        ).withColumn(
+            "sig_version", F.lit(MINHASH_KERNEL_VERSION)
+        ).withColumn("sig_params", F.lit(sig_params))
         if horizon is not None:
             new_state = new_state.filter(
                 F.col("bucket_latest")
@@ -381,82 +535,10 @@ def stream_ingest(
         _prune_state(spark, state_dir, keep_from=batch_id - 1)
 
         if kg_every is not None and (batch_id + 1) % kg_every == 0:
-            _rebuild_kg_snapshot(spark, out_dir, triples_dir, batch_id)
-
-    def _rebuild_kg_snapshot(spark: SparkSession, out: str,
-                             tri_dir: str, batch_id: int) -> None:
-        """The batch pipeline's nodes + edges stages (kg/pipeline.py:
-        387-482; parity is pinned by the streamed-==-batch test, not by
-        shared code — the batch stages interleave lineage commits that
-        have no streaming analog) over the FULL accumulated triples
-        table, written as _SUCCESS-gated versioned snapshots.  A
-        replayed batch rewrites the same deterministic snapshot into the
-        same version directory."""
-        from ..kg.blocking import candidate_pairs, mentions_from_triples
-        from ..kg.cc import canonical_mapping, connected_components
-        from ..kg.linking import all_link_edges
-
-        triples_all = spark.read.parquet(tri_dir)
-        mentions = mentions_from_triples(triples_all).cache()
-        pairs = candidate_pairs(mentions)
-        link_edges = all_link_edges(
-            mentions, aliases, pairs, embedding_dim=embedding_dim
-        ).cache()
-        components = connected_components(
-            mentions.select("mention_id"), link_edges
-        )
-        nodes = canonical_mapping(mentions, components).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("canonical_id"), F.lit(n_buckets)).cast("int"),
-        )
-        nodes_v = posixpath.join(out, "nodes", f"snap_v={batch_id}")
-        nodes.write.mode("overwrite").parquet(nodes_v)
-        link_edges.unpersist()
-        mentions.unpersist()
-
-        # edges from the MATERIALIZED nodes snapshot (the batch stage's
-        # read-back shape: re-deriving nodes per join side would re-run
-        # the whole linking lineage twice)
-        nodes_t = spark.read.parquet(nodes_v)
-        canon = nodes_t.select("surface", "canonical_id", "canonical_surface")
-        b_canon = F.broadcast(canon)
-        edges = (
-            triples_all
-            .join(
-                b_canon.withColumnRenamed("canonical_id", "subj_id")
-                .withColumnRenamed("canonical_surface", "subj_canonical"),
-                triples_all.subj == F.col("surface"),
-            )
-            .drop("surface")
-            .join(
-                b_canon.withColumnRenamed("canonical_id", "obj_id")
-                .withColumnRenamed("canonical_surface", "obj_canonical"),
-                triples_all.obj == F.col("surface"),
-            )
-            .drop("surface")
-            .select(
-                "subj_id", "subj_canonical", "pred", "obj_id",
-                "obj_canonical", "url", "warc_ts", "conf",
-            )
-            # same SALTED key as the batch edges stage (hot head subject
-            # spreads over `salt` pseudo-random buckets)
-            .withColumn(
-                "bucket",
-                F.pmod(
-                    F.xxhash64(
-                        "subj_id", F.pmod(F.xxhash64("obj_id"), F.lit(salt))
-                    ),
-                    F.lit(n_buckets),
-                ).cast("int"),
-            )
-        )
-        edges.write.mode("overwrite").parquet(
-            posixpath.join(out, "edges", f"snap_v={batch_id}")
-        )
-        for table in ("nodes", "edges"):
-            _prune_versions(
-                spark, posixpath.join(out, table),
-                keep_from=batch_id - 1, prefix="snap_v=",
+            rebuild_kg_snapshot(
+                spark, out_dir, batch_id, aliases=aliases,
+                n_buckets=n_buckets, embedding_dim=embedding_dim,
+                salt=salt, triples_schema=tri.schema,
             )
 
     return (

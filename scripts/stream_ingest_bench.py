@@ -157,8 +157,35 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
     if ingest_opts.get("triples"):
         leg["triples_rows"] = spark.read.parquet(
             os.path.join(out, "triples")).count()
-        from driftmind_spark.streaming.ingest import read_kg_snapshot
+        from driftmind_spark.streaming.ingest import (
+            latest_kg_snapshot_version,
+            read_kg_snapshot,
+            rebuild_kg_snapshot,
+        )
 
+        # Finalize the snapshot tail (round-7 self-review): with
+        # kg_every=3, an availableNow run whose batch count is not a
+        # multiple of 3 leaves the last snapshot missing the trailing
+        # batches' triples — the published nodes/edges counts would
+        # silently understate the corpus vs triples_rows.  One explicit
+        # final rebuild folds the remainder in; its wall time is
+        # reported separately (it is post-stream work, not part of the
+        # streaming throughput number).
+        last_batch = max(p["batch_id"] for p in progress)
+        snap_v = latest_kg_snapshot_version(spark, out)
+        leg["final_rebuild"] = None
+        if snap_v is None or snap_v < last_batch:
+            print(f"  finalizing KG snapshot: v={snap_v} < last batch "
+                  f"{last_batch}, rebuilding tail")
+            t1 = time.monotonic()
+            rebuild_kg_snapshot(
+                spark, out, last_batch,
+                aliases=ingest_opts.get("aliases"),
+            )
+            leg["final_rebuild"] = {
+                "from_version": snap_v, "to_version": last_batch,
+                "wall_sec": round(time.monotonic() - t1, 2),
+            }
         nodes = read_kg_snapshot(spark, out, "nodes")
         edges = read_kg_snapshot(spark, out, "edges")
         leg["nodes_rows"] = nodes.count() if nodes is not None else None

@@ -698,3 +698,18 @@ def test_quality_gate_multilingual_markers(spark):
     # langs=None disables the language gate entirely
     j3 = {r["url"]: r for r in quality_filter(docs, langs=None).collect()}
     assert all(j3[u]["keep"] for u in j3)
+
+
+def test_quality_filter_partial_collision_fails_loudly(spark):
+    """Round-7 self-review: the re-application guard must not silently
+    drop a USER column that happens to share a derived name ('keep',
+    'n_chars', ...).  Only the full judged-table column set is
+    unambiguously the gate's own output; a partial collision raises."""
+    from driftmind_spark.operators.quality import quality_filter
+
+    docs = spark.createDataFrame(
+        [("a", "the and is not a with for " * 30, False)],
+        "url string, text string, keep boolean",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        quality_filter(docs, langs=None)

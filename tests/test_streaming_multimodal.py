@@ -2010,3 +2010,93 @@ def test_stream_ingest_state_sig_version_guard(spark, tmp_path_factory):
     with pytest.raises(Exception, match="signature version"):
         q.awaitTermination(300)
         raise AssertionError("query should have failed on tampered state")
+
+
+def test_stream_ingest_state_sig_params_guard(spark, tmp_path_factory):
+    """Round-7 self-review: signature PARAMETER drift across a restart
+    (num_perm/bands/shingle_k) is as recall-destroying as a kernel
+    version bump — zip-truncated agreement can never reach min_slots and
+    band keys stop lining up, so every cross-restart near-dup would be
+    silently kept.  The resumed query must fail loudly instead."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("sigp_pages"))
+    pages, _ = generate_pages(20, min_sent=8, max_sent=12)
+    p0 = f"{d}/part-0.parquet"
+    pq.write_table(pages, p0)
+    os.utime(p0, (1_700_000_000, 1_700_000_000))
+
+    out = str(tmp_path_factory.mktemp("sigp_out"))
+    ckpt = str(tmp_path_factory.mktemp("sigp_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt, num_perm=64)
+    q.awaitTermination(300)
+
+    pages2, _ = generate_pages(20, start=20, min_sent=8, max_sent=12)
+    p1 = f"{d}/part-1.parquet"
+    pq.write_table(pages2, p1)
+    os.utime(p1, (1_700_000_001, 1_700_000_001))
+
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt, num_perm=32)
+    with pytest.raises(Exception, match="num_perm=64"):
+        q.awaitTermination(300)
+        raise AssertionError("query should have failed on changed params")
+
+
+def test_stream_ingest_all_junk_prefix_kg_rebuild(spark, tmp_path_factory):
+    """Round-7 self-review: a first micro-batch whose pages are ALL
+    quality-rejected used to kill the stream at the KG rebuild — the
+    accumulated triples dir held only footerless empty partitions and
+    schema inference threw.  Now the rebuild reads with the batch's own
+    schema, skips while the table is empty (no snapshot == empty graph),
+    and the first good batch produces the first PAIRED snapshot."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import (
+        latest_kg_snapshot_version,
+        read_kg_snapshot,
+        stream_ingest,
+    )
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("junkpfx_pages"))
+    # indices <= synth._DUP_FLOOR (24) are never planted junk — start
+    # the junk shard above the floor so junk_rate=1.0 junks EVERY page
+    junk, _ = generate_pages(15, start=25, min_sent=8, max_sent=12,
+                             junk_rate=1.0)
+    good, _ = generate_pages(15, start=45, min_sent=8, max_sent=12)
+    for i, tbl in enumerate((junk, good)):
+        p = f"{d}/part-{i}.parquet"
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(tmp_path_factory.mktemp("junkpfx_out"))
+    ckpt = str(tmp_path_factory.mktemp("junkpfx_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt, quality=True, triples=True, kg_every=1)
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    # batch 0 (all junk) skipped its rebuild; batch 1 committed v=1
+    assert latest_kg_snapshot_version(spark, out) == 1
+    # the pair lives under ONE root marker
+    assert os.path.exists(f"{out}/kg/snap_v=1/_SUCCESS")
+    assert not os.path.exists(f"{out}/nodes")
+    nodes = read_kg_snapshot(spark, out, "nodes")
+    edges = read_kg_snapshot(spark, out, "edges")
+    assert nodes is not None and nodes.count() > 0
+    assert edges is not None and edges.count() > 0
+    # only the good batch's pages reached the graph
+    urls = {r[0] for r in edges.select("url").distinct().collect()}
+    junk_urls = {u.as_py() for u in junk["url"]}
+    assert not (urls & junk_urls)
