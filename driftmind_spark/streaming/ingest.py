@@ -42,17 +42,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .stateful import _fold_bucket, _sig_banded
+from .stateful import _fold_bucket, sig_banded
 from .stream import _write_batch_idempotent
 
-# Version of the signature construction persisted in the rep state (the
-# gate's signatures come from the numpy kernel via make_minhash_sig_udf,
-# NOT from operators/dedup.py's Spark-SQL construction — each carries
-# its own version constant).  Signatures from different versions are
-# mutually incomparable — agreement between a v1 rep and a v2 arrival
-# is noise, so a resume across a version bump must fail loudly instead
-# of silently losing recall.
+# Versions of the two signature constructions persisted in the rep
+# state: ``wordgram`` stamps operators/dedup.py's Spark-SQL
+# construction version, ``kernel`` the numpy kernel's — each carries
+# its own constant.  Signatures from different versions OR different
+# constructions are mutually incomparable — agreement between a v1 rep
+# and a v2 arrival is noise, so a resume across a bump must fail loudly
+# instead of silently losing recall.
 from ..kernels.hashing import MINHASH_KERNEL_VERSION
+from ..operators.dedup import MINHASH_SIG_VERSION
+
+_SIG_VERSIONS = {"kernel": MINHASH_KERNEL_VERSION,
+                 "wordgram": MINHASH_SIG_VERSION}
 
 STATE_SCHEMA = (
     "band_idx int, band_hash bigint, url string, warc_ts timestamp, "
@@ -320,6 +324,7 @@ def stream_ingest(
     ttl_seconds: int = 7 * 24 * 3600,
     chunk_size: int = 300,
     overlap: int = 20,
+    signatures: str = "kernel",
     quality: bool = False,
     quality_opts: dict | None = None,
     triples: bool = False,
@@ -342,6 +347,22 @@ def stream_ingest(
     event (identical url + warc_ts, an at-least-once source replay)
     collapse to one row before the gate; conflicting texts under one
     event identity are undefined, as everywhere in this package.
+
+    ``signatures`` picks the MinHash construction: ``"kernel"``
+    (default — the per-row numpy char-shingle UDF, the same
+    construction as the single-operator stateful gate) or
+    ``"wordgram"`` (the batch dedup stage's JVM-side word-gram path —
+    legal here because foreachBatch bodies may aggregate, but measured
+    SLOWER and lower-recall at THIS gate's default parameters:
+    word-gram Jaccard of a near-clone sits far below its char-shingle
+    Jaccard, so 8-row bands miss ~half the candidates, and on
+    template-heavy corpora shared word-gram minima produce hot band
+    buckets that serialize the cogrouped fold — see the measured A/B in
+    BENCH/BASELINE.md.  A wordgram gate needs co-tuned params, e.g.
+    ``bands=16, min_agreement=0.8`` — the passage_near_dedup rule one
+    granularity up).  The construction and its parameters are stamped
+    into the persisted state; a resume under a different construction
+    fails loudly.
 
     ``quality=True`` prepends the batch pipeline's quality gate
     (operators/quality.py, same thresholds via ``quality_opts``):
@@ -373,17 +394,20 @@ def stream_ingest(
     if kg_every is not None and not triples:
         raise ValueError("kg_every requires triples=True")
     min_slots = int(-(-min_agreement * num_perm // 1))
-    # Everything that makes two signatures comparable: the kernel
-    # construction version AND the construction parameters.  num_perm
+    # Everything that makes two signatures comparable: the construction
+    # (wordgram vs kernel — different hash families entirely), its
+    # version constant, AND the construction parameters.  num_perm
     # changes the signature length (zip-truncated agreement can never
     # reach min_slots), bands/shingle_k change band_hash keys and
     # signature content — parameter drift across a resume is exactly as
-    # recall-destroying as a kernel bump, so both are persisted with the
-    # state and both fail loudly on mismatch (round-7 self-review).
-    # min_agreement is NOT stamped: it is a comparison threshold, not
-    # part of the signature construction — retuning it across a restart
-    # is legitimate.
-    sig_params = f"num_perm={num_perm};bands={bands};shingle_k={shingle_k}"
+    # recall-destroying as a construction bump, so all of it is
+    # persisted with the state and fails loudly on mismatch (round-7
+    # self-review).  min_agreement is NOT stamped: it is a comparison
+    # threshold, not part of the signature construction — retuning it
+    # across a restart is legitimate.
+    sig_version = _SIG_VERSIONS[signatures]  # also validates the name
+    sig_params = (f"construction={signatures};num_perm={num_perm};"
+                  f"bands={bands};shingle_k={shingle_k}")
     # The persisted-state compatibility probe only needs to run on the
     # FIRST batch that loads state after a (re)start: every state
     # version this query writes later carries the current constants, so
@@ -402,12 +426,32 @@ def stream_ingest(
         # deliver one event twice in a batch; folding both would
         # self-flag the second at the SAME identity and the event-level
         # anti-join below would then drop the keeper with it.
-        batch_df = batch_df.dropDuplicates(["url", "warc_ts"])
+        # Cache the RAW micro-batch across every downstream action
+        # (horizon agg, quality audit + kept split, banded signatures,
+        # kept->chunks/triples).  This is the ONE place the pipeline
+        # caches a text-bearing frame: unlike the batch stages (where a
+        # corpus cache failed at 1M and cannot exist at 100 TB — see
+        # kg/pipeline.py), the cached unit here is a single micro-batch
+        # whose size the CALLER bounds via trigger sizing
+        # (maxFilesPerTrigger / maxBytesPerTrigger — an availableNow run
+        # over a large backlog still arrives in trigger-sized batches).
+        # Caching BEFORE the quality gate (round-7: numInputRows showed
+        # 3x the corpus — the source parquet was re-scanned by the
+        # horizon agg, the audit write, and the kept path when only the
+        # post-gate frame was persisted) makes each batch read its
+        # source exactly once; the gate's whole-stage-codegen column
+        # arithmetic re-runs over the cache instead, which is the cheap
+        # side of that trade.  MEMORY_AND_DISK (explicit) degrades to
+        # disk instead of evicting under an oversized trigger.
+        raw = batch_df.dropDuplicates(["url", "warc_ts"]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        batch_df = raw
         # TTL horizon from ALL arriving events, BEFORE the quality gate
         # (round-6 advice): the stateful gate's clock is refreshed by
         # every arriving row; computing it post-filter made eviction lag
         # when junk dominated a batch (and skip entirely on an all-junk
-        # batch).  Cheap: a column-pruned max over warc_ts only.
+        # batch).
         horizon = batch_df.agg(F.max("warc_ts")).first()[0]
         if quality:
             from ..operators.quality import quality_filter
@@ -421,20 +465,9 @@ def stream_ingest(
             )
             _write_batch_idempotent(audit, qaudit_dir, batch_id)
             batch_df = judged.filter(F.col("keep")).select(*in_cols)
-        # Cache the micro-batch across the (banded, kept->chunks/triples)
-        # actions.  This is the ONE place the pipeline caches a
-        # text-bearing frame: unlike the batch stages (where a corpus
-        # cache failed at 1M and cannot exist at 100 TB — see
-        # kg/pipeline.py), the cached unit here is a single micro-batch
-        # whose size the CALLER bounds via trigger sizing
-        # (maxFilesPerTrigger / maxBytesPerTrigger — an availableNow run
-        # over a large backlog still arrives in trigger-sized batches).
-        # MEMORY_AND_DISK (explicit) degrades to disk instead of
-        # evicting under an oversized trigger.
-        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
-        banded = _sig_banded(
+        banded = sig_banded(
             batch_df.select("url", "warc_ts", "text"),
-            num_perm, bands, shingle_k,
+            num_perm, bands, shingle_k, signatures=signatures,
         )
         base_v = _latest_version(spark, state_dir, below=batch_id)
         if base_v is None:
@@ -462,7 +495,7 @@ def stream_ingest(
                         "with a fresh out_dir/checkpoint"
                     )
                 stale = reps.filter(
-                    (F.col("sig_version") != MINHASH_KERNEL_VERSION)
+                    (F.col("sig_version") != sig_version)
                     | (F.col("sig_params") != sig_params)
                 ).select("sig_version", "sig_params").first()
                 if stale is not None:
@@ -470,7 +503,7 @@ def stream_ingest(
                         f"dedup state {state_dir}/state_v={base_v} holds "
                         f"signature version {stale[0]} with params "
                         f"[{stale[1]}], current code builds version "
-                        f"{MINHASH_KERNEL_VERSION} with [{sig_params}]; "
+                        f"{sig_version} with [{sig_params}]; "
                         "mixed-signature near-dup comparison silently "
                         "loses recall — restart the ingest with a fresh "
                         "out_dir/checkpoint (or the original params)"
@@ -498,7 +531,7 @@ def stream_ingest(
             "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order",
             "bucket_latest",
         ).withColumn(
-            "sig_version", F.lit(MINHASH_KERNEL_VERSION)
+            "sig_version", F.lit(sig_version)
         ).withColumn("sig_params", F.lit(sig_params))
         if horizon is not None:
             new_state = new_state.filter(
@@ -531,7 +564,7 @@ def stream_ingest(
             _write_batch_idempotent(tri, triples_dir, batch_id)
 
         folded.unpersist()
-        batch_df.unpersist()
+        raw.unpersist()
         _prune_state(spark, state_dir, keep_from=batch_id - 1)
 
         if kg_every is not None and (batch_id + 1) % kg_every == 0:

@@ -118,19 +118,12 @@ DUP_OUT_SCHEMA = (
 DUP_STATE_SCHEMA = "reps binary, latest long"
 
 
-def _sig_banded(pages: DataFrame, num_perm: int, bands: int,
-                shingle_k: int) -> DataFrame:
-    """(url, warc_ts, sig, band_idx, band_hash) rows: ONE numpy MinHash
-    UDF per page (kernels/hashing — per-row, so it is streaming-legal:
-    no aggregation before the stateful operator), band keys derived
-    JVM-side from signature slices."""
-    from ..functions.udfs import make_minhash_sig_udf
-
+def _band_sig(with_sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(url, warc_ts, sig) -> one row per band with the band's key hash:
+    band keys derived JVM-side from signature slices (shared by every
+    signature construction — the banding does not care how ``sig`` was
+    built, only that it is ``array<bigint>`` of length ``num_perm``)."""
     rows_per_band = num_perm // bands
-    sig_udf = make_minhash_sig_udf(num_perm=num_perm, shingle_k=shingle_k)
-    with_sig = pages.select(
-        "url", "warc_ts", sig_udf("text").alias("sig")
-    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -150,6 +143,74 @@ def _sig_banded(pages: DataFrame, num_perm: int, bands: int,
         "url", "warc_ts", "sig",
         F.explode(F.array(*band_structs)).alias("bh"),
     ).select("url", "warc_ts", "sig", "bh.band_idx", "bh.band_hash")
+
+
+def _sig_banded(pages: DataFrame, num_perm: int, bands: int,
+                shingle_k: int) -> DataFrame:
+    """(url, warc_ts, sig, band_idx, band_hash) rows: ONE numpy MinHash
+    UDF per page (kernels/hashing — per-row, so it is streaming-legal:
+    no aggregation before the stateful operator), band keys derived
+    JVM-side from signature slices."""
+    from ..functions.udfs import make_minhash_sig_udf
+
+    sig_udf = make_minhash_sig_udf(num_perm=num_perm, shingle_k=shingle_k)
+    with_sig = pages.select(
+        "url", "warc_ts", sig_udf("text").alias("sig")
+    )
+    return _band_sig(with_sig, num_perm, bands)
+
+
+def _sig_banded_wordgram(pages: DataFrame, num_perm: int, bands: int,
+                         shingle_k: int) -> DataFrame:
+    """Same (url, warc_ts, sig, band_idx, band_hash) shape built by the
+    batch dedup stage's PRODUCTION word-gram construction
+    (operators/dedup.py, ``portable=False``: one xxhash64 per word,
+    rotate-xor gram fold, min-agg over permutations — the SIGNATURE
+    stage alone measured 85.8 s -> 7.1 s per 100k pages vs the
+    char-shingle kernel at num_perm=64; but see BENCH/BASELINE.md for
+    the full-gate A/B, where the gate's default 8-row bands and
+    template-heavy corpora make this construction net slower and
+    lower-recall without co-tuned band/agreement params).
+
+    Aggregation-based (groupBy per doc), so it is legal ONLY in batch
+    plans — ``foreachBatch`` bodies and differential oracles; the
+    single-operator stateful gate (``stream_near_dups``) must keep the
+    per-row kernel UDF, since Structured Streaming forbids aggregation
+    before ``applyInPandasWithState``.  ``shingle_k`` here counts WORDS
+    per gram, not characters; the two constructions' signatures are
+    mutually incomparable (streaming/ingest.py stamps the construction
+    into the persisted state's sig_params for exactly that reason)."""
+    from ..operators.dedup import _minhash_signatures
+
+    # event identity is (url, warc_ts) — fold it into doc_id so an
+    # in-batch recrawl keeps both occurrences' signatures
+    docs = pages.select(
+        F.struct("url", "warc_ts").alias("doc_id"), "text"
+    )
+    sigs = _minhash_signatures(docs, "text", num_perm=num_perm,
+                               shingle_k=shingle_k, portable=False)
+    with_sig = sigs.select(
+        F.col("doc_id.url").alias("url"),
+        F.col("doc_id.warc_ts").alias("warc_ts"),
+        F.array(*[f"s{i}" for i in range(num_perm)]).alias("sig"),
+    )
+    return _band_sig(with_sig, num_perm, bands)
+
+
+def sig_banded(pages: DataFrame, num_perm: int, bands: int, shingle_k: int,
+               signatures: str = "kernel") -> DataFrame:
+    """Signature-source switch shared by the composed ingest and its
+    batch differential oracle: ``kernel`` (default — per-row numpy UDF,
+    the stateful gate's construction) or ``wordgram`` (JVM-side,
+    batch-only; needs co-tuned band/agreement params — see
+    stream_ingest's docstring)."""
+    if signatures == "wordgram":
+        return _sig_banded_wordgram(pages, num_perm, bands, shingle_k)
+    if signatures == "kernel":
+        return _sig_banded(pages, num_perm, bands, shingle_k)
+    raise ValueError(
+        f"signatures must be 'wordgram' or 'kernel', got {signatures!r}"
+    )
 
 
 def _fold_bucket(rows, reps, min_slots: int, max_reps: int):
@@ -297,9 +358,13 @@ def near_dup_flags_batch(
     shingle_k: int = 3,
     min_agreement: float = 0.9,
     max_reps: int = 8,
+    signatures: str = "kernel",
 ) -> DataFrame:
     """Batch analog (differential oracle): the SAME ``_fold_bucket``
-    applied per band bucket over event-ordered rows."""
+    applied per band bucket over event-ordered rows.  ``signatures``
+    defaults to the stateful gate's kernel construction (this function
+    is ``stream_near_dups``'s oracle); pass ``'wordgram'`` to mirror
+    the composed ingest's scale default (same switch, shared code)."""
     min_slots = int(-(-min_agreement * num_perm // 1))
 
     def fold(pdf):
@@ -317,8 +382,8 @@ def near_dup_flags_batch(
         )
 
     return (
-        _sig_banded(pages.select("url", "warc_ts", "text"),
-                    num_perm, bands, shingle_k)
+        sig_banded(pages.select("url", "warc_ts", "text"),
+                   num_perm, bands, shingle_k, signatures=signatures)
         .groupBy("band_idx", "band_hash")
         .applyInPandas(fold, DUP_OUT_SCHEMA)
     )

@@ -209,15 +209,27 @@ def main() -> None:
     result["gate_to_chunks"] = _run_leg(
         spark, corpus, f"/tmp/dm7_stream_out_a_{n}",
         f"/tmp/dm7_stream_ckpt_a_{n}", n)
-    print("leg A (quality->dedup->chunks):",
+    print("leg A (quality->dedup->chunks, kernel sig):",
           json.dumps({k: v for k, v in result["gate_to_chunks"].items()
                       if k != "batches"}))
     result["full_kg_path"] = _run_leg(
         spark, corpus, f"/tmp/dm7_stream_out_b_{n}",
         f"/tmp/dm7_stream_ckpt_b_{n}", n,
         triples=True, kg_every=3, aliases=aliases)
-    print("leg B (+triples, kg_every=3):",
+    print("leg B (+triples, kg_every=3, kernel sig):",
           json.dumps({k: v for k, v in result["full_kg_path"].items()
+                      if k != "batches"}))
+    # comparison leg: the JVM-side wordgram construction (foreachBatch
+    # is free to aggregate, so it is AVAILABLE here — but measured
+    # slower and lower-recall at this gate's default band/agreement
+    # params; this leg keeps that negative result pinned with numbers,
+    # see BENCH/BASELINE.md)
+    result["gate_to_chunks_wordgram_sig"] = _run_leg(
+        spark, corpus, f"/tmp/dm7_stream_out_w_{n}",
+        f"/tmp/dm7_stream_ckpt_w_{n}", n, signatures="wordgram")
+    print("leg C (quality->dedup->chunks, wordgram sig):",
+          json.dumps({k: v for k, v in
+                      result["gate_to_chunks_wordgram_sig"].items()
                       if k != "batches"}))
 
     out_path = os.path.join(REPO, "BENCH", "stream_ingest_r7.json")

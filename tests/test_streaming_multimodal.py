@@ -1605,8 +1605,13 @@ def test_stream_ingest_gate_plus_chunks(spark, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("ingest_out"))
     ckpt = str(tmp_path_factory.mktemp("ingest_ckpt"))
+    # run this parity test through the WORDGRAM construction (both
+    # sides of the differential) — the other ingest tests cover the
+    # kernel default, and this one pins that the signature switch stays
+    # differential-exact for the alternative construction too
     q = stream_ingest(
         read_pages_stream(spark, d, max_files_per_trigger=1), out, ckpt,
+        signatures="wordgram",
     )
     q.awaitTermination(300)
 
@@ -1614,7 +1619,8 @@ def test_stream_ingest_gate_plus_chunks(spark, tmp_path_factory):
     s_rows = flags.filter("dup_of is not null").select(
         "url", "band_idx", "dup_of", "agreement", "saturated"
     )
-    batch = near_dup_flags_batch(spark.read.parquet(d))
+    batch = near_dup_flags_batch(spark.read.parquet(d),
+                                 signatures="wordgram")
     b_rows = batch.filter("dup_of is not null").select(
         "url", "band_idx", "dup_of", "agreement", "saturated"
     )
@@ -2100,3 +2106,41 @@ def test_stream_ingest_all_junk_prefix_kg_rebuild(spark, tmp_path_factory):
     urls = {r[0] for r in edges.select("url").distinct().collect()}
     junk_urls = {u.as_py() for u in junk["url"]}
     assert not (urls & junk_urls)
+
+
+def test_stream_ingest_construction_switch_guard(spark, tmp_path_factory):
+    """Resuming a wordgram-gated out_dir with signatures='kernel' (or
+    vice versa) must fail loudly: the two constructions' signatures are
+    mutually incomparable, so a silent switch would keep every
+    cross-restart near-dup."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from driftmind_spark.streaming.ingest import stream_ingest
+    from driftmind_spark.streaming.stream import read_pages_stream
+    from driftmind_spark.synth import generate_pages
+
+    d = str(tmp_path_factory.mktemp("sigc_pages"))
+    pages, _ = generate_pages(20, min_sent=8, max_sent=12)
+    p0 = f"{d}/part-0.parquet"
+    pq.write_table(pages, p0)
+    os.utime(p0, (1_700_000_000, 1_700_000_000))
+
+    out = str(tmp_path_factory.mktemp("sigc_out"))
+    ckpt = str(tmp_path_factory.mktemp("sigc_ckpt"))
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt, signatures="wordgram")
+    q.awaitTermination(300)
+
+    pages2, _ = generate_pages(20, start=20, min_sent=8, max_sent=12)
+    p1 = f"{d}/part-1.parquet"
+    pq.write_table(pages2, p1)
+    os.utime(p1, (1_700_000_001, 1_700_000_001))
+
+    q = stream_ingest(read_pages_stream(spark, d, max_files_per_trigger=1),
+                      out, ckpt, signatures="kernel")
+    with pytest.raises(Exception, match="construction=wordgram"):
+        q.awaitTermination(300)
+        raise AssertionError("query should have failed on switched "
+                             "signature construction")
