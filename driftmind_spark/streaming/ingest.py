@@ -124,18 +124,24 @@ def _gate_cogroup_fn(min_slots: int, max_reps: int):
     return fn
 
 
+def _fs(spark: SparkSession, dir_path: str):
+    """(fs, path, jvm) Hadoop FS handle for ``dir_path`` — the one copy
+    of the py4j boilerplate; going through the Hadoop FS API keeps the
+    same code working on HDFS/object stores."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
+    return path.getFileSystem(conf), path, jvm
+
+
 def _latest_version(spark: SparkSession, base_dir: str,
                     below: int | None = None,
                     prefix: str = "state_v=") -> int | None:
     """Newest committed (``_SUCCESS``-gated) version under ``base_dir``,
     optionally strictly below ``below`` (retry safety: a replayed batch
     must fold from its ORIGINAL base state, never from its own partial
-    output).  Listing goes through the Hadoop FS API so the same code
-    runs on HDFS/object stores."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(base_dir)
-    fs = path.getFileSystem(conf)
+    output)."""
+    fs, path, jvm = _fs(spark, base_dir)
     if not fs.exists(path):
         return None
     versions = []
@@ -152,10 +158,7 @@ def _latest_version(spark: SparkSession, base_dir: str,
 
 def _prune_versions(spark: SparkSession, base_dir: str, keep_from: int,
                     prefix: str = "state_v=") -> None:
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(base_dir)
-    fs = path.getFileSystem(conf)
+    fs, path, _ = _fs(spark, base_dir)
     if not fs.exists(path):
         return
     for st in fs.listStatus(path):
@@ -179,10 +182,7 @@ def _prune_keep_last(spark: SparkSession, base_dir: str, keep: int = 2,
     uncommitted debris older than the newest committed one (a crashed
     rebuild's half-written directory — its batch will be replayed at the
     same or a higher version)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(base_dir)
-    fs = path.getFileSystem(conf)
+    fs, path, jvm = _fs(spark, base_dir)
     if not fs.exists(path):
         return
     committed, uncommitted = [], []
@@ -207,10 +207,34 @@ def latest_kg_snapshot_version(
     spark: SparkSession, out_dir: str
 ) -> int | None:
     """Newest COMMITTED (paired, ``_SUCCESS``-gated) KG snapshot version
-    under ``{out_dir}/kg``, or None if no rebuild has completed yet."""
-    return _latest_version(
+    under ``{out_dir}/kg``, or None if no rebuild has completed yet.
+
+    Fails loudly on an out_dir written by the pre-pairing layout
+    (separate ``{out_dir}/nodes/snap_v=*`` + ``{out_dir}/edges/...``
+    trees): silently answering "no snapshot" for a directory that HAS
+    snapshots would serve an empty graph until the next rebuild and
+    orphan the old trees forever — same doctrine as the dedup-state
+    signature guard."""
+    v = _latest_version(
         spark, posixpath.join(out_dir, "kg"), prefix="snap_v="
     )
+    if v is None:
+        old = posixpath.join(out_dir, "nodes")
+        fs, old_path, _ = _fs(spark, old)
+        if fs.exists(old_path) and any(
+            st.getPath().getName().startswith("snap_v=")
+            for st in fs.listStatus(old_path)
+        ):
+            raise RuntimeError(
+                f"{out_dir} holds nodes/edges snapshots in the "
+                "pre-pairing layout (nodes/snap_v=*, edges/snap_v=*), "
+                "which could pair tables from different rebuilds and is "
+                "no longer read — re-run the ingest with a fresh "
+                "out_dir/checkpoint (or rebuild once via "
+                "rebuild_kg_snapshot to produce a paired kg/ snapshot, "
+                "then delete the old trees)"
+            )
+    return v
 
 
 def read_kg_snapshot(
@@ -270,24 +294,29 @@ def rebuild_kg_snapshot(
     """
     from ..kg.graph import build_edges, build_nodes
 
+    from pyspark.errors import AnalysisException
+
     tri_dir = posixpath.join(out_dir, "triples")
     reader = spark.read
     if triples_schema is not None:
         reader = reader.schema(triples_schema)
     try:
         triples_all = reader.parquet(tri_dir)
-    except Exception:
+    except AnalysisException:
+        # schema-less direct call over a dir with no parquet footers yet
+        # (all batches so far wrote empty partitions) or no dir at all.
+        # ONLY AnalysisException maps to "no readable triples yet" —
+        # anything else (IO/permission errors) propagates instead of
+        # silently serving the stale previous snapshot.
         if triples_schema is not None:
             raise
-        return False  # no readable triples yet (schema-less direct call)
+        return False
     if triples_all.isEmpty():
         return False
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     snap = posixpath.join(out_dir, "kg", f"snap_v={version}")
+    fs, _, jvm = _fs(spark, snap)
     marker = jvm.org.apache.hadoop.fs.Path(snap, "_SUCCESS")
-    fs = marker.getFileSystem(conf)
     if fs.exists(marker):
         fs.delete(marker, False)  # replay: retract before rewriting
 

@@ -183,9 +183,14 @@ def _sig_banded_wordgram(pages: DataFrame, num_perm: int, bands: int,
     from ..operators.dedup import _minhash_signatures
 
     # event identity is (url, warc_ts) — fold it into doc_id so an
-    # in-batch recrawl keeps both occurrences' signatures
+    # in-batch recrawl keeps both occurrences' signatures.  NULL text
+    # folds to '' (the family-wide rule): without it the doc's grams
+    # are NULL, the groupBy never sees it, and every NULL-text page
+    # silently bypasses the gate — the kernel construction signs
+    # (t or ''), so the two options must agree on who is gated.
     docs = pages.select(
-        F.struct("url", "warc_ts").alias("doc_id"), "text"
+        F.struct("url", "warc_ts").alias("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
     sigs = _minhash_signatures(docs, "text", num_perm=num_perm,
                                shingle_k=shingle_k, portable=False)

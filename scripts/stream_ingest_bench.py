@@ -178,10 +178,18 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
             print(f"  finalizing KG snapshot: v={snap_v} < last batch "
                   f"{last_batch}, rebuilding tail")
             t1 = time.monotonic()
-            rebuild_kg_snapshot(
+            # forward the SAME KG knobs the stream's in-line rebuilds
+            # used — a finalize with different n_buckets/salt would
+            # publish a snapshot incomparable with the stream's own
+            ok = rebuild_kg_snapshot(
                 spark, out, last_batch,
                 aliases=ingest_opts.get("aliases"),
+                n_buckets=ingest_opts.get("n_buckets", 8),
+                embedding_dim=ingest_opts.get("embedding_dim", 64),
+                salt=ingest_opts.get("salt", 8),
             )
+            assert ok, ("finalize rebuild was a no-op (unreadable/empty "
+                        "triples) — published nodes/edges would be stale")
             leg["final_rebuild"] = {
                 "from_version": snap_v, "to_version": last_batch,
                 "wall_sec": round(time.monotonic() - t1, 2),

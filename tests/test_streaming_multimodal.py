@@ -2144,3 +2144,37 @@ def test_stream_ingest_construction_switch_guard(spark, tmp_path_factory):
         q.awaitTermination(300)
         raise AssertionError("query should have failed on switched "
                              "signature construction")
+
+
+def test_read_kg_snapshot_old_layout_fails_loudly(spark, tmp_path):
+    """An out_dir holding pre-pairing per-table snapshots must raise,
+    not silently answer 'no snapshot yet' (which would serve an empty
+    graph and orphan the old trees)."""
+    import os
+
+    from driftmind_spark.streaming.ingest import latest_kg_snapshot_version
+
+    os.makedirs(tmp_path / "nodes" / "snap_v=3")
+    with pytest.raises(RuntimeError, match="pre-pairing"):
+        latest_kg_snapshot_version(spark, str(tmp_path))
+
+
+def test_sig_banded_wordgram_null_text_gated(spark):
+    """NULL text folds to '' in the wordgram construction (family-wide
+    rule): the doc must still get banded rows — vanishing from the
+    signature table would silently exempt every NULL-text page from the
+    dedup gate, diverging from the kernel construction."""
+    from driftmind_spark.streaming.stateful import sig_banded
+
+    pages = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, ""), ("c", 3, "real text with words")],
+        "url string, ts int, text string",
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+    banded = sig_banded(pages, num_perm=16, bands=4, shingle_k=3,
+                        signatures="wordgram")
+    urls = {r[0] for r in banded.select("url").distinct().collect()}
+    assert urls == {"a", "b", "c"}
+    # and the NULL doc's signature equals the empty doc's (same fold)
+    sa = banded.filter("url='a'").select("sig").first()[0]
+    sb = banded.filter("url='b'").select("sig").first()[0]
+    assert sa == sb
