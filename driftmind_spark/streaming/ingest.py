@@ -455,45 +455,54 @@ def stream_ingest(
         # deliver one event twice in a batch; folding both would
         # self-flag the second at the SAME identity and the event-level
         # anti-join below would then drop the keeper with it.
-        # Cache the RAW micro-batch across every downstream action
-        # (horizon agg, quality audit + kept split, banded signatures,
-        # kept->chunks/triples).  This is the ONE place the pipeline
-        # caches a text-bearing frame: unlike the batch stages (where a
-        # corpus cache failed at 1M and cannot exist at 100 TB — see
-        # kg/pipeline.py), the cached unit here is a single micro-batch
-        # whose size the CALLER bounds via trigger sizing
+        #
+        # Cache the micro-batch WITH the quality verdicts across every
+        # downstream action (horizon agg, audit + kept split, banded
+        # signatures, kept->chunks/triples).  This is the ONE place the
+        # pipeline caches a text-bearing frame: unlike the batch stages
+        # (where a corpus cache failed at 1M and cannot exist at 100 TB
+        # — see kg/pipeline.py), the cached unit here is a single
+        # micro-batch whose size the CALLER bounds via trigger sizing
         # (maxFilesPerTrigger / maxBytesPerTrigger — an availableNow run
         # over a large backlog still arrives in trigger-sized batches).
-        # Caching BEFORE the quality gate (round-7: numInputRows showed
-        # 3x the corpus — the source parquet was re-scanned by the
-        # horizon agg, the audit write, and the kept path when only the
-        # post-gate frame was persisted) makes each batch read its
-        # source exactly once; the gate's whole-stage-codegen column
-        # arithmetic re-runs over the cache instead, which is the cheap
-        # side of that trade.  MEMORY_AND_DISK (explicit) degrades to
-        # disk instead of evicting under an oversized trigger.
-        raw = batch_df.dropDuplicates(["url", "warc_ts"]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        batch_df = raw
-        # TTL horizon from ALL arriving events, BEFORE the quality gate
-        # (round-6 advice): the stateful gate's clock is refreshed by
-        # every arriving row; computing it post-filter made eviction lag
-        # when junk dominated a batch (and skip entirely on an all-junk
-        # batch).
-        horizon = batch_df.agg(F.max("warc_ts")).first()[0]
+        # Cache placement is measured, round-7: caching only the
+        # post-gate frame re-scanned the source parquet 3x per batch
+        # (numInputRows showed 3x the corpus); caching the PRE-gate raw
+        # frame fixed that but re-ran the gate's feature expressions
+        # (regex tokenize + 5-language marker filters, ~13 s per 16.6k
+        # batch) on each of the audit/kept/banded actions.  Judging
+        # FIRST and caching the judged frame (all input rows + verdict
+        # columns — quality_filter appends, it does not filter) costs
+        # one source scan and ONE feature computation per batch; the
+        # derived columns add only scalars + a small array to the cached
+        # bytes.  MEMORY_AND_DISK (explicit) degrades to disk instead
+        # of evicting under an oversized trigger.
+        raw = batch_df.dropDuplicates(["url", "warc_ts"])
         if quality:
             from ..operators.quality import quality_filter
 
-            in_cols = batch_df.columns
-            judged = quality_filter(batch_df, **(quality_opts or {}))
-            audit = judged.filter(~F.col("keep")).select(
+            in_cols = raw.columns
+            cached = quality_filter(raw, **(quality_opts or {})).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            cached = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        # TTL horizon from ALL arriving events, BEFORE the quality gate
+        # filters (round-6 advice): the stateful gate's clock is
+        # refreshed by every arriving row; computing it post-filter made
+        # eviction lag when junk dominated a batch (and skip entirely on
+        # an all-junk batch).  quality_filter appends columns without
+        # dropping rows, so the judged frame still holds every event.
+        horizon = cached.agg(F.max("warc_ts")).first()[0]
+        batch_df = cached
+        if quality:
+            audit = cached.filter(~F.col("keep")).select(
                 "url", "warc_ts", "n_chars", "n_tokens", "punct_ratio",
                 "stop_ratio", "chars_per_token", "lang_guess",
                 "reject_reasons",
             )
             _write_batch_idempotent(audit, qaudit_dir, batch_id)
-            batch_df = judged.filter(F.col("keep")).select(*in_cols)
+            batch_df = cached.filter(F.col("keep")).select(*in_cols)
         banded = sig_banded(
             batch_df.select("url", "warc_ts", "text"),
             num_perm, bands, shingle_k, signatures=signatures,
@@ -593,7 +602,7 @@ def stream_ingest(
             _write_batch_idempotent(tri, triples_dir, batch_id)
 
         folded.unpersist()
-        raw.unpersist()
+        cached.unpersist()
         _prune_state(spark, state_dir, keep_from=batch_id - 1)
 
         if kg_every is not None and (batch_id + 1) % kg_every == 0:

@@ -39,7 +39,10 @@ sys.path.insert(0, REPO)
 
 N_DEFAULT = 100_000
 CORPUS_TMPL = "/tmp/dm7_stream_corpus_{n}"
-FILES_PER_TRIGGER = 8
+# ~2k pages per shard file -> 8 files/trigger = ~16.6k-page batches.
+# Override to demonstrate the trigger-size/throughput trade (per-batch
+# fixed orchestration amortizes with bigger triggers).
+FILES_PER_TRIGGER = int(os.environ.get("DM_FILES_PER_TRIGGER", "8"))
 
 
 def _gen_shard(args):
@@ -202,7 +205,14 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
 
 
 def main() -> None:
+    # Usage: stream_ingest_bench.py [n_pages] [legs] [out_suffix]
+    #   legs: subset of "ABC" (default all) — A gate->chunks, B full KG
+    #   path, C wordgram comparison.  out_suffix: appended to the JSON
+    #   name, so a scaling run (SPARK_GRAFT_CPUS=8 ... A _n8) does not
+    #   clobber the headline artifact.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    legs = sys.argv[2].upper() if len(sys.argv) > 2 else "ABC"
+    suffix = sys.argv[3] if len(sys.argv) > 3 else ""
     corpus = build_corpus(n, CORPUS_TMPL.format(n=n))
     print(f"corpus ready: {corpus}")
 
@@ -214,33 +224,36 @@ def main() -> None:
 
     result = {"n_pages": n, "cpus": cpus,
               "files_per_trigger": FILES_PER_TRIGGER}
-    result["gate_to_chunks"] = _run_leg(
-        spark, corpus, f"/tmp/dm7_stream_out_a_{n}",
-        f"/tmp/dm7_stream_ckpt_a_{n}", n)
-    print("leg A (quality->dedup->chunks, kernel sig):",
-          json.dumps({k: v for k, v in result["gate_to_chunks"].items()
-                      if k != "batches"}))
-    result["full_kg_path"] = _run_leg(
-        spark, corpus, f"/tmp/dm7_stream_out_b_{n}",
-        f"/tmp/dm7_stream_ckpt_b_{n}", n,
-        triples=True, kg_every=3, aliases=aliases)
-    print("leg B (+triples, kg_every=3, kernel sig):",
-          json.dumps({k: v for k, v in result["full_kg_path"].items()
-                      if k != "batches"}))
-    # comparison leg: the JVM-side wordgram construction (foreachBatch
-    # is free to aggregate, so it is AVAILABLE here — but measured
-    # slower and lower-recall at this gate's default band/agreement
-    # params; this leg keeps that negative result pinned with numbers,
-    # see BENCH/BASELINE.md)
-    result["gate_to_chunks_wordgram_sig"] = _run_leg(
-        spark, corpus, f"/tmp/dm7_stream_out_w_{n}",
-        f"/tmp/dm7_stream_ckpt_w_{n}", n, signatures="wordgram")
-    print("leg C (quality->dedup->chunks, wordgram sig):",
-          json.dumps({k: v for k, v in
-                      result["gate_to_chunks_wordgram_sig"].items()
-                      if k != "batches"}))
+    if "A" in legs:
+        result["gate_to_chunks"] = _run_leg(
+            spark, corpus, f"/tmp/dm7_stream_out_a_{n}",
+            f"/tmp/dm7_stream_ckpt_a_{n}", n)
+        print("leg A (quality->dedup->chunks, kernel sig):",
+              json.dumps({k: v for k, v in result["gate_to_chunks"].items()
+                          if k != "batches"}))
+    if "B" in legs:
+        result["full_kg_path"] = _run_leg(
+            spark, corpus, f"/tmp/dm7_stream_out_b_{n}",
+            f"/tmp/dm7_stream_ckpt_b_{n}", n,
+            triples=True, kg_every=3, aliases=aliases)
+        print("leg B (+triples, kg_every=3, kernel sig):",
+              json.dumps({k: v for k, v in result["full_kg_path"].items()
+                          if k != "batches"}))
+    if "C" in legs:
+        # comparison leg: the JVM-side wordgram construction
+        # (foreachBatch is free to aggregate, so it is AVAILABLE here —
+        # but measured slower and lower-recall at this gate's default
+        # band/agreement params; this leg keeps that negative result
+        # pinned with numbers, see BENCH/BASELINE.md)
+        result["gate_to_chunks_wordgram_sig"] = _run_leg(
+            spark, corpus, f"/tmp/dm7_stream_out_w_{n}",
+            f"/tmp/dm7_stream_ckpt_w_{n}", n, signatures="wordgram")
+        print("leg C (quality->dedup->chunks, wordgram sig):",
+              json.dumps({k: v for k, v in
+                          result["gate_to_chunks_wordgram_sig"].items()
+                          if k != "batches"}))
 
-    out_path = os.path.join(REPO, "BENCH", "stream_ingest_r7.json")
+    out_path = os.path.join(REPO, "BENCH", f"stream_ingest_r7{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {out_path}")
