@@ -485,132 +485,145 @@ def stream_ingest(
             cached = quality_filter(raw, **(quality_opts or {})).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-        else:
-            cached = raw.persist(StorageLevel.MEMORY_AND_DISK)
-        # TTL horizon from ALL arriving events, BEFORE the quality gate
-        # filters (round-6 advice): the stateful gate's clock is
-        # refreshed by every arriving row; computing it post-filter made
-        # eviction lag when junk dominated a batch (and skip entirely on
-        # an all-junk batch).  quality_filter appends columns without
-        # dropping rows, so the judged frame still holds every event.
-        horizon = cached.agg(F.max("warc_ts")).first()[0]
-        batch_df = cached
-        if quality:
+            # lazy definitions — written/consumed after the horizon agg
+            # below materializes the cache
             audit = cached.filter(~F.col("keep")).select(
                 "url", "warc_ts", "n_chars", "n_tokens", "punct_ratio",
                 "stop_ratio", "chars_per_token", "lang_guess",
                 "reject_reasons",
             )
-            _write_batch_idempotent(audit, qaudit_dir, batch_id)
-            batch_df = cached.filter(F.col("keep")).select(*in_cols)
-        banded = sig_banded(
-            batch_df.select("url", "warc_ts", "text"),
-            num_perm, bands, shingle_k, signatures=signatures,
-        )
-        base_v = _latest_version(spark, state_dir, below=batch_id)
-        if base_v is None:
-            reps = spark.createDataFrame([], STATE_SCHEMA)
+            gated = cached.filter(F.col("keep")).select(*in_cols)
         else:
-            reps = spark.read.parquet(
-                posixpath.join(state_dir, f"state_v={base_v}")
+            cached = raw.persist(StorageLevel.MEMORY_AND_DISK)
+            audit = None
+            gated = cached
+        # Unpersist in a finally: a mid-batch failure (e.g. the loud
+        # signature-drift RuntimeError below) must not leak a
+        # trigger-sized text-bearing cache into a driver that catches
+        # the StreamingQueryException and keeps the session alive.
+        folded = None
+        try:
+            # TTL horizon from ALL arriving events, BEFORE the quality
+            # gate filters (round-6 advice): the stateful gate's clock
+            # is refreshed by every arriving row; computing it
+            # post-filter made eviction lag when junk dominated a batch
+            # (and skip entirely on an all-junk batch).  quality_filter
+            # appends columns without dropping rows, so the judged
+            # frame still holds every event.
+            horizon = cached.agg(F.max("warc_ts")).first()[0]
+            if audit is not None:
+                _write_batch_idempotent(audit, qaudit_dir, batch_id)
+            batch_df = gated
+            banded = sig_banded(
+                batch_df.select("url", "warc_ts", "text"),
+                num_perm, bands, shingle_k, signatures=signatures,
             )
-            # Mixed-signature resume detection (round-6 advice + round-7
-            # params extension): rep signatures from an older kernel OR
-            # a different (num_perm, bands, shingle_k) never agree with
-            # current arrivals, so recall would silently collapse — fail
-            # loudly instead.  Runs once per query (first state load);
-            # the state table is bounded (max_reps per active bucket),
-            # so even that one probe is cheap.
-            if not state_checked[0]:
-                missing = [c for c in ("sig_version", "sig_params")
-                           if c not in reps.columns]
-                if missing:
-                    raise RuntimeError(
-                        f"dedup state {state_dir}/state_v={base_v} "
-                        f"predates signature stamping (no {missing}); it "
-                        "was built by an older signature construction "
-                        "and cannot be resumed — restart the ingest "
-                        "with a fresh out_dir/checkpoint"
-                    )
-                stale = reps.filter(
-                    (F.col("sig_version") != sig_version)
-                    | (F.col("sig_params") != sig_params)
-                ).select("sig_version", "sig_params").first()
-                if stale is not None:
-                    raise RuntimeError(
-                        f"dedup state {state_dir}/state_v={base_v} holds "
-                        f"signature version {stale[0]} with params "
-                        f"[{stale[1]}], current code builds version "
-                        f"{sig_version} with [{sig_params}]; "
-                        "mixed-signature near-dup comparison silently "
-                        "loses recall — restart the ingest with a fresh "
-                        "out_dir/checkpoint (or the original params)"
-                    )
-                state_checked[0] = True
-        folded = (
-            banded.groupby("band_idx", "band_hash")
-            .cogroup(reps.groupby("band_idx", "band_hash"))
-            .applyInPandas(
-                _gate_cogroup_fn(min_slots, max_reps), GATE_OUT_SCHEMA
+            base_v = _latest_version(spark, state_dir, below=batch_id)
+            if base_v is None:
+                reps = spark.createDataFrame([], STATE_SCHEMA)
+            else:
+                reps = spark.read.parquet(
+                    posixpath.join(state_dir, f"state_v={base_v}")
+                )
+                # Mixed-signature resume detection (round-6 advice + round-7
+                # params extension): rep signatures from an older kernel OR
+                # a different (num_perm, bands, shingle_k) never agree with
+                # current arrivals, so recall would silently collapse — fail
+                # loudly instead.  Runs once per query (first state load);
+                # the state table is bounded (max_reps per active bucket),
+                # so even that one probe is cheap.
+                if not state_checked[0]:
+                    missing = [c for c in ("sig_version", "sig_params")
+                               if c not in reps.columns]
+                    if missing:
+                        raise RuntimeError(
+                            f"dedup state {state_dir}/state_v={base_v} "
+                            f"predates signature stamping (no {missing}); it "
+                            "was built by an older signature construction "
+                            "and cannot be resumed — restart the ingest "
+                            "with a fresh out_dir/checkpoint"
+                        )
+                    stale = reps.filter(
+                        (F.col("sig_version") != sig_version)
+                        | (F.col("sig_params") != sig_params)
+                    ).select("sig_version", "sig_params").first()
+                    if stale is not None:
+                        raise RuntimeError(
+                            f"dedup state {state_dir}/state_v={base_v} holds "
+                            f"signature version {stale[0]} with params "
+                            f"[{stale[1]}], current code builds version "
+                            f"{sig_version} with [{sig_params}]; "
+                            "mixed-signature near-dup comparison silently "
+                            "loses recall — restart the ingest with a fresh "
+                            "out_dir/checkpoint (or the original params)"
+                        )
+                    state_checked[0] = True
+            folded = (
+                banded.groupby("band_idx", "band_hash")
+                .cogroup(reps.groupby("band_idx", "band_hash"))
+                .applyInPandas(
+                    _gate_cogroup_fn(min_slots, max_reps), GATE_OUT_SCHEMA
+                )
+                .persist()
             )
-            .persist()
-        )
-        flags = folded.filter(F.col("kind") == "flag").select(
-            "url", "warc_ts", "band_idx", "dup_of", "agreement", "saturated"
-        )
-        _write_batch_idempotent(flags, flags_dir, batch_id)
-
-        # event-time TTL on the persisted reps (state stays bounded even
-        # without the state store's timeout machinery).  Eviction keys on
-        # the BUCKET's activity clock — a bucket still catching dups
-        # keeps its reps alive, exactly like the stateful gate's
-        # setTimeoutTimestamp(latest + ttl)
-        new_state = folded.filter(F.col("kind") == "rep").select(
-            "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order",
-            "bucket_latest",
-        ).withColumn(
-            "sig_version", F.lit(sig_version)
-        ).withColumn("sig_params", F.lit(sig_params))
-        if horizon is not None:
-            new_state = new_state.filter(
-                F.col("bucket_latest")
-                >= F.lit(horizon) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+            flags = folded.filter(F.col("kind") == "flag").select(
+                "url", "warc_ts", "band_idx", "dup_of", "agreement", "saturated"
             )
-        new_state.write.mode("overwrite").parquet(
-            posixpath.join(state_dir, f"state_v={batch_id}")
-        )
+            _write_batch_idempotent(flags, flags_dir, batch_id)
 
-        # Per-EVENT drop set (round-6 advice fix): each flag row carries
-        # the flagged occurrence's warc_ts, and a url's keeper occurrence
-        # is never flagged — so anti-joining on (url, warc_ts) drops
-        # exactly the non-keeper occurrences, for both self-flags
-        # (in-batch recrawl) and cross-url dups.
-        dup_events = (
-            flags.filter(F.col("dup_of").isNotNull())
-            .select("url", "warc_ts").distinct()
-        )
-        kept = batch_df.join(dup_events, ["url", "warc_ts"], "left_anti")
-        chunks = build_chunks(kept, chunk_size, overlap, with_embeddings=False)
-        _write_batch_idempotent(chunks, chunks_dir, batch_id)
-
-        if triples:
-            from ..kg.triples import extract_triples_df
-
-            tri = extract_triples_df(kept).withColumn(
-                "bucket", bucket_col("url", n_buckets)
+            # event-time TTL on the persisted reps (state stays bounded even
+            # without the state store's timeout machinery).  Eviction keys on
+            # the BUCKET's activity clock — a bucket still catching dups
+            # keeps its reps alive, exactly like the stateful gate's
+            # setTimeoutTimestamp(latest + ttl)
+            new_state = folded.filter(F.col("kind") == "rep").select(
+                "band_idx", "band_hash", "url", "warc_ts", "sig", "rep_order",
+                "bucket_latest",
+            ).withColumn(
+                "sig_version", F.lit(sig_version)
+            ).withColumn("sig_params", F.lit(sig_params))
+            if horizon is not None:
+                new_state = new_state.filter(
+                    F.col("bucket_latest")
+                    >= F.lit(horizon) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+                )
+            new_state.write.mode("overwrite").parquet(
+                posixpath.join(state_dir, f"state_v={batch_id}")
             )
-            _write_batch_idempotent(tri, triples_dir, batch_id)
 
-        folded.unpersist()
-        cached.unpersist()
-        _prune_state(spark, state_dir, keep_from=batch_id - 1)
-
-        if kg_every is not None and (batch_id + 1) % kg_every == 0:
-            rebuild_kg_snapshot(
-                spark, out_dir, batch_id, aliases=aliases,
-                n_buckets=n_buckets, embedding_dim=embedding_dim,
-                salt=salt, triples_schema=tri.schema,
+            # Per-EVENT drop set (round-6 advice fix): each flag row carries
+            # the flagged occurrence's warc_ts, and a url's keeper occurrence
+            # is never flagged — so anti-joining on (url, warc_ts) drops
+            # exactly the non-keeper occurrences, for both self-flags
+            # (in-batch recrawl) and cross-url dups.
+            dup_events = (
+                flags.filter(F.col("dup_of").isNotNull())
+                .select("url", "warc_ts").distinct()
             )
+            kept = batch_df.join(dup_events, ["url", "warc_ts"], "left_anti")
+            chunks = build_chunks(kept, chunk_size, overlap, with_embeddings=False)
+            _write_batch_idempotent(chunks, chunks_dir, batch_id)
+
+            if triples:
+                from ..kg.triples import extract_triples_df
+
+                tri = extract_triples_df(kept).withColumn(
+                    "bucket", bucket_col("url", n_buckets)
+                )
+                _write_batch_idempotent(tri, triples_dir, batch_id)
+
+            _prune_state(spark, state_dir, keep_from=batch_id - 1)
+
+            if kg_every is not None and (batch_id + 1) % kg_every == 0:
+                rebuild_kg_snapshot(
+                    spark, out_dir, batch_id, aliases=aliases,
+                    n_buckets=n_buckets, embedding_dim=embedding_dim,
+                    salt=salt, triples_schema=tri.schema,
+                )
+        finally:
+            if folded is not None:
+                folded.unpersist()
+            cached.unpersist()
 
     return (
         pages_stream.writeStream.foreachBatch(_sink)

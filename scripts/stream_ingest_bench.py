@@ -20,7 +20,12 @@ last two, so sizes are collected as they appear).  State stays bounded
 by construction (max_reps per active band bucket + event-time TTL); the
 numbers here make that visible.
 
-Usage: PYTHONPATH=. python scripts/stream_ingest_bench.py [n_pages]
+Usage: PYTHONPATH=. python scripts/stream_ingest_bench.py \
+           [n_pages] [legs] [out_suffix]
+``legs`` is a subset of "ABC" (default all three); any partial-leg run
+MUST pass a non-empty ``out_suffix`` (e.g. ``A _n8``) — the suffix is
+appended to the JSON name so scaling/variant runs never clobber the
+headline artifact BENCH/stream_ingest_r7.json.
 Never run concurrently with pytest or bench.py (host-capacity drift).
 """
 
@@ -213,6 +218,15 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
     legs = sys.argv[2].upper() if len(sys.argv) > 2 else "ABC"
     suffix = sys.argv[3] if len(sys.argv) > 3 else ""
+    if not legs or not set(legs) <= set("ABC"):
+        raise SystemExit(f"legs must be a non-empty subset of 'ABC', "
+                         f"got {sys.argv[2]!r}")
+    if set(legs) != set("ABC") and not suffix:
+        raise SystemExit(
+            "partial-leg runs must pass an out_suffix — writing them to "
+            "the headline BENCH/stream_ingest_r7.json would silently "
+            "drop the other legs' published results"
+        )
     corpus = build_corpus(n, CORPUS_TMPL.format(n=n))
     print(f"corpus ready: {corpus}")
 
