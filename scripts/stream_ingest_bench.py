@@ -48,6 +48,10 @@ CORPUS_TMPL = "/tmp/dm7_stream_corpus_{n}"
 # Override to demonstrate the trigger-size/throughput trade (per-batch
 # fixed orchestration amortizes with bigger triggers).
 FILES_PER_TRIGGER = int(os.environ.get("DM_FILES_PER_TRIGGER", "8"))
+# Progress-event retention for the session (spark.sql.streaming.
+# numRecentProgressUpdates); per-batch rows in the artifact come from
+# q.recentProgress, which keeps only this many newest entries.
+PROGRESS_RETENTION = 10_000
 
 
 def _gen_shard(args):
@@ -149,6 +153,12 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n / wall, 1),
         "n_batches": len(progress),
+        # True would mean recentProgress hit the session's retention cap
+        # and n_batches/batches undercount (the newest entries survive,
+        # so last_batch below stays correct) — cap is set to 10k in
+        # main(), far above any run here, and the flag makes a silent
+        # undercount impossible anyway
+        "progress_truncated": len(q.recentProgress) >= PROGRESS_RETENTION,
         "batches": progress,
         "state_rows_final": pq_.read_table(final_state).num_rows,
         "state_bytes_by_version": {
@@ -233,7 +243,15 @@ def main() -> None:
     from driftmind_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # recentProgress retains only the newest numRecentProgressUpdates
+    # entries (default 100): with small triggers / large n the per-batch
+    # rows in the artifact would silently undercount (round-7 advice).
+    # 10k batches is far above any configuration this script runs.
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.streaming.numRecentProgressUpdates":
+                              str(PROGRESS_RETENTION),
+                      })
     aliases = spark.read.parquet(os.path.join(corpus, "aliases.parquet"))
 
     result = {"n_pages": n, "cpus": cpus,
