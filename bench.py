@@ -145,6 +145,9 @@ print(json.dumps({{"cores": {cores}, "sec": round(best, 3),
 """
 
 
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPS", "3"))
+
+
 def _run_scaling(n_docs: int) -> dict:
     """Two N->4N pairs: (2,8) in the uncontended region, and (8,32)
     filling the whole socket.
@@ -161,29 +164,52 @@ def _run_scaling(n_docs: int) -> dict:
         frac(N) = spark_docs_per_sec(N) / control_docs_per_sec(N).
     Efficiency claims then use  eff_norm(N->4N) = frac(4N) / frac(N),
     which cancels host drift to first order; the raw Spark-only
-    efficiencies are reported alongside."""
+    efficiencies are reported alongside.
+
+    MEDIAN-OF-N (round 8): the 8- and 32-thread legs — the ones the
+    published ``kg_docs_per_sec`` and the noisy 8->32 ratio come from —
+    run ``SPARK_GRAFT_BENCH_SCALING_REPS`` (default 3) independent
+    (control, spark) rep pairs and report the median-throughput rep, so
+    one bad host window can't halve the published number (the r7
+    artifact recorded 6,448 docs/s at local[32] while the r6/r8 code
+    path is byte-identical; BENCH/thread_scaling_ab_r8.json).  The
+    2-thread leg stays single-rep: it is ~4x the wall of the others and
+    across r2-r7 artifacts varied the least."""
     corpus = _corpus_dir(n_docs, *SCALING_SENT)
     ctrl_docs = min(n_docs, 24000)
     out = {}
     for cores in (2, 8, 32):
-        ctrl = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "hw_control.py"),
-             os.path.join(corpus, "pages.parquet"), str(ctrl_docs), str(cores)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        cline = [l for l in ctrl.stdout.strip().splitlines() if l.startswith("{")][-1]
-        ctrl_rate = json.loads(cline)["workers"][str(cores)]
-        code = _SCALING_SNIPPET.format(
-            repo=REPO, cores=cores, parts=4 * cores, corpus=corpus
-        )
-        res = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-        leg = json.loads(line)
-        leg["control_docs_per_sec"] = ctrl_rate
-        leg["machine_relative_frac"] = round(leg["docs_per_sec"] / ctrl_rate, 4)
+        reps = []
+        for _ in range(SCALING_REPS if cores >= 8 else 1):
+            ctrl = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "scripts", "hw_control.py"),
+                 os.path.join(corpus, "pages.parquet"), str(ctrl_docs),
+                 str(cores)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            cline = [l for l in ctrl.stdout.strip().splitlines()
+                     if l.startswith("{")][-1]
+            ctrl_rate = json.loads(cline)["workers"][str(cores)]
+            code = _SCALING_SNIPPET.format(
+                repo=REPO, cores=cores, parts=4 * cores, corpus=corpus
+            )
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [l for l in res.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            leg = json.loads(line)
+            leg["control_docs_per_sec"] = ctrl_rate
+            leg["machine_relative_frac"] = round(
+                leg["docs_per_sec"] / ctrl_rate, 4)
+            reps.append(leg)
+        med_rate = _median([r["docs_per_sec"] for r in reps])
+        leg = min(reps, key=lambda r: abs(r["docs_per_sec"] - med_rate))
+        leg["docs_per_sec_reps"] = [r["docs_per_sec"] for r in reps]
+        leg["control_docs_per_sec_reps"] = [
+            r["control_docs_per_sec"] for r in reps]
         out[f"local[{cores}]"] = leg
     for lo, hi in ((2, 8), (8, 32)):
         a, b = out[f"local[{lo}]"], out[f"local[{hi}]"]

@@ -278,15 +278,38 @@ def read_kg_snapshot(
     tables, so a reader can never pair a nodes table with an edges table
     from a different rebuild (round-7 self-review: per-table versioning
     let the two prune/commit independently, and a crash between the two
-    writes paired edges with a different linking run's nodes)."""
+    writes paired edges with a different linking run's nodes).
+
+    Snapshots written by the INCREMENTAL rebuild materialize only the
+    dictionary-sized nodes table; their edges are a read-time view —
+    the append-only triples store (``batch_id <=`` the snapshot's
+    version, partition-pruned) resolved through the snapshot's
+    canonical map with the same ``kg/graph.py::build_edges`` dataflow
+    the batch stage runs.  Identical rows to a materialized copy
+    (pinned by tests/test_kg_incremental.py), two broadcast hash joins
+    at read time instead of an O(corpus) rewrite at every rebuild."""
     if table not in ("nodes", "edges"):
         raise ValueError(f"table must be 'nodes' or 'edges', got {table!r}")
     v = latest_kg_snapshot_version(spark, out_dir)
     if v is None:
         return None
-    return spark.read.parquet(
-        posixpath.join(out_dir, "kg", f"snap_v={v}", table)
-    )
+    snap = posixpath.join(out_dir, "kg", f"snap_v={v}")
+    table_path = posixpath.join(snap, table)
+    if table == "edges":
+        fs, tp, _ = _fs(spark, table_path)
+        if not fs.exists(tp):
+            from ..kg.graph import build_edges
+
+            meta = spark.read.parquet(posixpath.join(snap, "meta")).first()
+            triples = spark.read.parquet(
+                posixpath.join(out_dir, "triples")
+            ).filter(F.col("batch_id") <= meta["version"])
+            nodes_t = spark.read.parquet(posixpath.join(snap, "nodes"))
+            return build_edges(
+                triples, nodes_t, salt=meta["salt"],
+                n_buckets=meta["n_buckets"],
+            )
+    return spark.read.parquet(table_path)
 
 
 def rebuild_kg_snapshot(
@@ -392,6 +415,150 @@ def rebuild_kg_snapshot(
     return True
 
 
+def rebuild_kg_snapshot_incremental(
+    spark: SparkSession,
+    out_dir: str,
+    version: int,
+    aliases: DataFrame | None = None,
+    n_buckets: int = 8,
+    embedding_dim: int = 64,
+    salt: int = 8,
+    triples_schema=None,
+) -> bool:
+    """Incremental variant of :func:`rebuild_kg_snapshot` — O(delta +
+    dictionary) per snapshot instead of O(accumulated corpus), same
+    staging-swap commit and the same published result (see
+    kg/incremental.py for the delta-linking / contracted-CC design and
+    its exactness guards).  Snapshot layout: ``snap_v=<version>/{nodes,
+    state/{bands,alias_hubs}, meta}`` — edges are served as a read-time
+    view by :func:`read_kg_snapshot`.
+
+    Self-healing fallbacks (each runs the FULL linking over the
+    accumulated triples and writes fresh state, so the published
+    snapshot always equals a from-scratch run's):
+      * no previous snapshot, or one written by the full path (no
+        ``state/``) — bootstrap;
+      * previous state stamped with different linking params or a
+        different alias dictionary — parameter drift the delta path
+        cannot replay;
+      * an LSH hot-bucket cap crossing (kg/incremental.py docstring).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..kg import incremental as kginc
+    from ..kg.graph import build_nodes
+
+    tri_dir = posixpath.join(out_dir, "triples")
+    reader = spark.read
+    if triples_schema is not None:
+        reader = reader.schema(triples_schema)
+    try:
+        triples_all = reader.parquet(tri_dir)
+    except AnalysisException:
+        # same contract as rebuild_kg_snapshot: schema-less direct call
+        # over a dir with no parquet footers yet, or no dir at all
+        if triples_schema is not None:
+            raise
+        return False
+    # pin the snapshot to its version even when called post-hoc over a
+    # store that has grown past it (batch_id is a partition column:
+    # this prunes, not scans)
+    triples_upto = triples_all.filter(F.col("batch_id") <= version)
+    if triples_upto.isEmpty():
+        return False
+
+    kg_dir = posixpath.join(out_dir, "kg")
+    params = kginc.state_params(embedding_dim, aliases)
+    prev_v = _latest_version(spark, kg_dir, below=version, prefix="snap_v=")
+
+    prev = None
+    if prev_v is not None:
+        prev_snap = posixpath.join(kg_dir, f"snap_v={prev_v}")
+        fs, meta_path, _ = _fs(spark, posixpath.join(prev_snap, "meta"))
+        if fs.exists(meta_path):
+            meta = spark.read.parquet(
+                posixpath.join(prev_snap, "meta")
+            ).first()
+            if meta["params"] == params:
+                prev = {
+                    "nodes": spark.read.parquet(
+                        posixpath.join(prev_snap, "nodes")
+                    ),
+                    "bands": spark.read.parquet(
+                        posixpath.join(prev_snap, "state", "bands")
+                    ),
+                    "hubs": spark.read.parquet(
+                        posixpath.join(prev_snap, "state", "alias_hubs")
+                    ),
+                }
+
+    mode = "full_bootstrap"
+    caches: tuple = ()
+    nodes = bands_out = hubs_out = None
+    if prev is not None:
+        delta = triples_upto.filter(F.col("batch_id") > prev_v)
+        res = kginc.incremental_nodes(
+            prev["nodes"], prev["bands"], prev["hubs"], delta,
+            aliases=aliases, embedding_dim=embedding_dim,
+            n_buckets=n_buckets,
+        )
+        if res is None:
+            mode = "full_cap_crossing"
+        else:
+            nodes, bands_out, hubs_out, caches = res
+            mode = "incremental"
+
+    staging = posixpath.join(kg_dir, f"_tmp_snap_v={version}")
+    snap = posixpath.join(kg_dir, f"snap_v={version}")
+    fs, snap_path, jvm = _fs(spark, snap)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(staging_path):
+        fs.delete(staging_path, True)
+
+    if mode != "incremental":
+        nodes, caches = build_nodes(
+            triples_upto, aliases, embedding_dim=embedding_dim,
+            n_buckets=n_buckets,
+        )
+    nodes_path = posixpath.join(staging, "nodes")
+    nodes.write.mode("overwrite").parquet(nodes_path)
+    if mode != "incremental":
+        # state derives from the MATERIALIZED nodes (dictionary-sized),
+        # never by re-running the corpus-scale linking lineage
+        for c in caches:
+            c.unpersist()
+        caches = ()
+        nodes_t = spark.read.parquet(nodes_path)
+        bands_out, hubs_out = kginc.derive_state_from_nodes(nodes_t, aliases)
+    bands_out.write.mode("overwrite").parquet(
+        posixpath.join(staging, "state", "bands")
+    )
+    hubs_out.write.mode("overwrite").parquet(
+        posixpath.join(staging, "state", "alias_hubs")
+    )
+    for c in caches:
+        c.unpersist()
+    spark.createDataFrame(
+        [(version, True, salt, n_buckets, params, mode)],
+        "version long, edges_view boolean, salt int, n_buckets int, "
+        "params string, mode string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        posixpath.join(staging, "meta")
+    )
+
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(staging_path, "_SUCCESS"), True
+    ).close()
+    if fs.exists(snap_path):
+        fs.delete(snap_path, True)
+    if not fs.rename(staging_path, snap_path):
+        raise IOError(
+            f"failed to swap staged KG snapshot {staging} -> {snap}"
+        )
+    _prune_keep_last(spark, kg_dir, keep=2)
+    return True
+
+
 def stream_ingest(
     pages_stream: DataFrame,
     out_dir: str,
@@ -409,6 +576,7 @@ def stream_ingest(
     quality_opts: dict | None = None,
     triples: bool = False,
     kg_every: int | None = None,
+    kg_incremental: bool = False,
     aliases: DataFrame | None = None,
     n_buckets: int = 8,
     embedding_dim: int = 64,
@@ -467,6 +635,15 @@ def stream_ingest(
     corpus, exactly like the batch nodes stage); its cost grows with
     the distinct-surface dictionary, so pick ``kg_every`` by snapshot
     freshness needs — tests use 1, a crawl would use tens-to-hundreds.
+
+    ``kg_incremental=True`` switches the rebuild to the delta-linking /
+    contracted-CC path (:func:`rebuild_kg_snapshot_incremental`):
+    O(new batches + dictionary) per snapshot instead of O(accumulated
+    corpus), with edges served as a read-time view over the triples
+    store — the scale-safe choice for long-running crawls (round-7
+    verdict item 2).  Published snapshots are identical to the full
+    path's (cap crossings and parameter drift self-heal via a full
+    rebuild; kg/incremental.py).
     """
     from ..kg.lineage import bucket_col
     from ..operators.chunking import build_chunks
@@ -685,7 +862,11 @@ def stream_ingest(
             _prune_state(spark, state_dir, keep_from=batch_id - 1)
 
             if kg_every is not None and (batch_id + 1) % kg_every == 0:
-                rebuild_kg_snapshot(
+                rebuild = (
+                    rebuild_kg_snapshot_incremental if kg_incremental
+                    else rebuild_kg_snapshot
+                )
+                rebuild(
                     spark, out_dir, batch_id, aliases=aliases,
                     n_buckets=n_buckets, embedding_dim=embedding_dim,
                     salt=salt, triples_schema=tri.schema,
