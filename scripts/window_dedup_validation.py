@@ -1,4 +1,7 @@
-"""Token-window dedup at 1M pages (round-7 item 5).
+"""Token-window dedup at 1M pages (round-7 item 5; precision audit
+added in round 8 — stage 4 verifies sampled non-planted drops are
+token-for-token identical to their keeper window and publishes
+precision next to recall, BENCH/window_dedup_1m_r8.json).
 
 The window family (operators/passages.py::window_fingerprints /
 window_dedup / apply_window_dedup) had unit-scale tests only; this run
@@ -133,13 +136,47 @@ def main() -> None:
     result["rebuilt_docs"] = n_out
     result["docs_with_surviving_span"] = surviving
 
-    out_path = os.path.join(REPO, "BENCH", "window_dedup_1m_r7.json")
+    # stage 4: PRECISION audit over the non-planted drops (round-8
+    # item 3).  The fingerprint is exact md5 over the window tokens, so
+    # every dropped window should be token-for-token identical to its
+    # keeper — a mismatch would mean a normalization bug between the
+    # fingerprint path and the keeper join (or an md5 collision).
+    # Sampled dropped windows join their keeper's window_text by
+    # fingerprint; precision = exact-equal / sampled.
+    t0 = time.monotonic()
+    resk = window_dedup(docs, window_tokens=WINDOW, keep_text=True)
+    sample = (
+        resk.filter(~F.col("is_kept") & ~planted_fp)
+        .sample(fraction=0.05, seed=8)
+        .limit(10_000)
+    )
+    keepers = resk.filter(
+        F.col("is_kept") & F.col("n_occurrences").isNotNull()
+    ).select("fingerprint", F.col("window_text").alias("keeper_text"))
+    pagg = sample.join(keepers, "fingerprint").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("window_text") == F.col("keeper_text"), 1)
+            .otherwise(0)
+        ).alias("exact"),
+    ).collect()[0]
+    result["precision_wall_sec"] = round(time.monotonic() - t0, 1)
+    result["precision_sampled_windows"] = pagg["n"]
+    result["precision_exact_matches"] = pagg["exact"]
+    result["window_precision"] = (
+        round(pagg["exact"] / pagg["n"], 6) if pagg["n"] else None
+    )
+
+    out_path = os.path.join(REPO, "BENCH", "window_dedup_1m_r8.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     print(f"wrote {out_path}")
     assert n_out == n_docs
     assert result["planted_recall"] >= 0.999
+    assert pagg["n"] > 0 and pagg["exact"] == pagg["n"], (
+        "dropped windows must equal their keeper token-for-token"
+    )
 
 
 if __name__ == "__main__":
