@@ -57,14 +57,11 @@ generalized to upserting into a canonicalized entity graph.
 
 from __future__ import annotations
 
-import posixpath
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocking import banded_mentions, mentions_from_triples
 from .cc import connected_components
-from .graph import build_edges, build_nodes
 from .linking import score_candidate_pairs
 
 # Bump on ANY change to the incremental dataflow that makes persisted

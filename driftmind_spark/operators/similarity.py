@@ -198,10 +198,11 @@ def ivf_topk(
     filter returns an EMPTY sample when ids share a residue class,
     e.g. all-odd keeper ids after dedup).  By default (``sample_mod``
     unset) the sample is the global top-``max_sample_rows`` rows by
-    ``xxhash64(vec_id)`` — a single TakeOrderedAndProject action, so the
-    driver collect is bounded by construction at any corpus size AND the
-    expensive upstream lineage is evaluated exactly once (no separate
-    count action).  Hard guards raise on an over-cap sample (caller
+    ``xxhash64(vec_id)``, taken NARROW (ids only, so the takeOrdered
+    driver merge never ships per-partition embedding payloads) and then
+    fetched via a broadcast semi-join — bounded driver traffic at any
+    corpus size and partition count.  Hard guards raise on an over-cap
+    sample (caller
     forced ``sample_mod`` too small) and on an empty one (degenerate
     corpus).  Centroids broadcast inside the assignment
     UDF's closure, each side is scanned once, and the candidate join is
@@ -210,21 +211,39 @@ def ivf_topk(
     import numpy as np
 
     if sample_mod is None:
-        # ONE bounded action, no prior count: global top-max_sample_rows by
-        # xxhash64(vec_id).  Spark compiles orderBy+limit to
-        # TakeOrderedAndProject (map-side partial top-k + driver merge — no
-        # full sort, no shuffle of the corpus), so the collect is bounded by
-        # construction at any corpus size, the hash order makes the sample
-        # uniformly pseudo-random AND deterministic, and — unlike the earlier
-        # count-then-filter scheme — UDF-heavy upstream lineage runs ONCE,
-        # not once for the count and again for the sample (the repeated-
-        # action trap kg/cc.py round 3 removed).  When the corpus has fewer
-        # rows than the cap this returns every row, so small-corpus fixtures
-        # (sf0.01: all 2,000 vectors) are bit-unchanged.
-        sample_rows = (
-            corpus.select("vec_id", "embedding")
+        # Default sampling: global top-max_sample_rows by xxhash64(vec_id)
+        # — the hash order makes the sample uniformly pseudo-random AND
+        # deterministic, and when the corpus has fewer rows than the cap
+        # it returns every row, so small-corpus fixtures (sf0.01: all
+        # 2,000 vectors) are bit-unchanged.  Two NARROW-then-FETCH
+        # actions (round 8): takeOrdered's driver merge receives every
+        # partition's candidate top-k, so running it over (vec_id,
+        # embedding) ships O(partitions x cap x dim) — the 1M x 256-d
+        # ANN sweep blew spark.driver.maxResultSize at just 40
+        # partitions (BENCH/ann_operating_point_r8.json), and a
+        # cluster-scale scan has thousands.  Pass 1 takes the ids alone
+        # (16 B/row through the merge); pass 2 fetches the sampled rows'
+        # embeddings through a broadcast semi-join, shipping exactly
+        # max_sample_rows fat rows.  The second scan of the corpus is
+        # the price; callers with expensive upstream lineage should
+        # cache the corpus (the bench does).
+        spark = corpus.sparkSession
+        # distinct before the top-k: duplicate vec_ids (unioned tables,
+        # replay appends) would otherwise multiply through the fetch
+        # join below into an unbounded driver collect
+        ids = (
+            corpus.select("vec_id").distinct()
             .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
             .limit(max_sample_rows)
+            .collect()
+        )
+        id_df = spark.createDataFrame(
+            ids, corpus.select("vec_id").schema
+        )
+        sample_rows = (
+            corpus.join(F.broadcast(id_df), "vec_id")
+            .dropDuplicates(["vec_id"])
+            .select("vec_id", "embedding")
             .collect()
         )
     else:

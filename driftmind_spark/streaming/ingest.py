@@ -215,6 +215,12 @@ def _prune_keep_last(spark: SparkSession, base_dir: str, keep: int = 2,
             tmp_versions.append(tv)
     committed.sort()
     drop = set(committed[:-keep] if keep else committed)
+    # With NO committed version (e.g. the first-ever rebuild crashed
+    # before its rename and the stream was then retired), staging
+    # debris is deliberately left in place: the replay reuses it at
+    # the same version, and sweeping it here would race an in-flight
+    # first build.  An abandoned out_dir keeps that one orphan tree —
+    # acceptable for a dir that is dead anyway.
     if committed:
         drop |= {v for v in uncommitted if v < committed[-1]}
         # staging debris from a crashed swap-rebuild of an older version
@@ -231,6 +237,44 @@ def _prune_keep_last(spark: SparkSession, base_dir: str, keep: int = 2,
                 )
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(path, f"{prefix}{v}"), True)
+
+
+def _prepare_staging(spark: SparkSession, kg_dir: str, version: int
+                     ) -> tuple[str, str]:
+    """(staging, snap) paths for a snapshot build; clears our own
+    crashed prior staging attempt.  The commit protocol lives in ONE
+    place (here + :func:`_commit_staged_snapshot`) — both rebuild
+    variants share it, so a change to the swap semantics cannot leave
+    the two divergent (the kg/graph.py lesson, round 7)."""
+    staging = posixpath.join(kg_dir, f"_tmp_snap_v={version}")
+    snap = posixpath.join(kg_dir, f"snap_v={version}")
+    fs, _, jvm = _fs(spark, snap)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(staging_path):
+        fs.delete(staging_path, True)
+    return staging, snap
+
+
+def _commit_staged_snapshot(spark: SparkSession, kg_dir: str,
+                            staging: str, snap: str) -> None:
+    """Swap a fully-written staging dir over the final snapshot path.
+    The marker goes INSIDE staging, so the rename IS the commit; until
+    the delete+rename below, any previously committed snapshot at
+    ``snap`` was untouched and fully readable — the unreadable window
+    is two metadata ops, and a crash inside it is healed by the
+    replay's deterministic rewrite."""
+    fs, snap_path, jvm = _fs(spark, snap)
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(staging_path, "_SUCCESS"), True
+    ).close()
+    if fs.exists(snap_path):
+        fs.delete(snap_path, True)
+    if not fs.rename(staging_path, snap_path):
+        raise IOError(
+            f"failed to swap staged KG snapshot {staging} -> {snap}"
+        )
+    _prune_keep_last(spark, kg_dir, keep=2)
 
 
 def latest_kg_snapshot_version(
@@ -376,21 +420,21 @@ def rebuild_kg_snapshot(
         return False
 
     kg_dir = posixpath.join(out_dir, "kg")
-    snap = posixpath.join(kg_dir, f"snap_v={version}")
-    staging = posixpath.join(kg_dir, f"_tmp_snap_v={version}")
-    fs, snap_path, jvm = _fs(spark, snap)
-    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(staging_path):
-        fs.delete(staging_path, True)  # our own crashed prior attempt
+    staging, snap = _prepare_staging(spark, kg_dir, version)
 
     nodes, caches = build_nodes(
         triples_all, aliases, embedding_dim=embedding_dim,
         n_buckets=n_buckets,
     )
-    nodes_path = posixpath.join(staging, "nodes")
-    nodes.write.mode("overwrite").parquet(nodes_path)
-    for c in caches:
-        c.unpersist()
+    # unpersist in a finally: a failed staging write must not leak the
+    # linking caches into a session whose driver catches the streaming
+    # exception and lives on (same doctrine as the micro-batch cache)
+    try:
+        nodes_path = posixpath.join(staging, "nodes")
+        nodes.write.mode("overwrite").parquet(nodes_path)
+    finally:
+        for c in caches:
+            c.unpersist()
 
     # edges from the MATERIALIZED nodes snapshot (the batch stage's
     # read-back shape: re-deriving nodes per join side would re-run the
@@ -399,19 +443,7 @@ def rebuild_kg_snapshot(
     edges = build_edges(triples_all, nodes_t, salt=salt, n_buckets=n_buckets)
     edges.write.mode("overwrite").parquet(posixpath.join(staging, "edges"))
 
-    # marker goes INSIDE the staging dir, so the rename IS the commit;
-    # until this moment any previously committed snap_v=<version> was
-    # untouched and fully readable
-    fs.create(
-        jvm.org.apache.hadoop.fs.Path(staging_path, "_SUCCESS"), True
-    ).close()
-    if fs.exists(snap_path):
-        fs.delete(snap_path, True)
-    if not fs.rename(staging_path, snap_path):
-        raise IOError(
-            f"failed to swap staged KG snapshot {staging} -> {snap}"
-        )
-    _prune_keep_last(spark, kg_dir, keep=2)
+    _commit_staged_snapshot(spark, kg_dir, staging, snap)
     return True
 
 
@@ -508,36 +540,40 @@ def rebuild_kg_snapshot_incremental(
             nodes, bands_out, hubs_out, caches = res
             mode = "incremental"
 
-    staging = posixpath.join(kg_dir, f"_tmp_snap_v={version}")
-    snap = posixpath.join(kg_dir, f"snap_v={version}")
-    fs, snap_path, jvm = _fs(spark, snap)
-    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(staging_path):
-        fs.delete(staging_path, True)
+    staging, snap = _prepare_staging(spark, kg_dir, version)
 
     if mode != "incremental":
         nodes, caches = build_nodes(
             triples_upto, aliases, embedding_dim=embedding_dim,
             n_buckets=n_buckets,
         )
-    nodes_path = posixpath.join(staging, "nodes")
-    nodes.write.mode("overwrite").parquet(nodes_path)
-    if mode != "incremental":
-        # state derives from the MATERIALIZED nodes (dictionary-sized),
-        # never by re-running the corpus-scale linking lineage
+    # unpersist in a finally: the incremental path holds 4-5 cached
+    # frames (delta mentions/surfaces/bands, contracted components) —
+    # a failed staging write must not leak them into a session whose
+    # driver catches the streaming exception and lives on
+    try:
+        nodes_path = posixpath.join(staging, "nodes")
+        nodes.write.mode("overwrite").parquet(nodes_path)
+        if mode != "incremental":
+            # state derives from the MATERIALIZED nodes
+            # (dictionary-sized), never by re-running the corpus-scale
+            # linking lineage; the build_nodes caches can go now
+            for c in caches:
+                c.unpersist()
+            caches = ()
+            nodes_t = spark.read.parquet(nodes_path)
+            bands_out, hubs_out = kginc.derive_state_from_nodes(
+                nodes_t, aliases
+            )
+        bands_out.write.mode("overwrite").parquet(
+            posixpath.join(staging, "state", "bands")
+        )
+        hubs_out.write.mode("overwrite").parquet(
+            posixpath.join(staging, "state", "alias_hubs")
+        )
+    finally:
         for c in caches:
             c.unpersist()
-        caches = ()
-        nodes_t = spark.read.parquet(nodes_path)
-        bands_out, hubs_out = kginc.derive_state_from_nodes(nodes_t, aliases)
-    bands_out.write.mode("overwrite").parquet(
-        posixpath.join(staging, "state", "bands")
-    )
-    hubs_out.write.mode("overwrite").parquet(
-        posixpath.join(staging, "state", "alias_hubs")
-    )
-    for c in caches:
-        c.unpersist()
     spark.createDataFrame(
         [(version, True, salt, n_buckets, params, mode)],
         "version long, edges_view boolean, salt int, n_buckets int, "
@@ -546,16 +582,7 @@ def rebuild_kg_snapshot_incremental(
         posixpath.join(staging, "meta")
     )
 
-    fs.create(
-        jvm.org.apache.hadoop.fs.Path(staging_path, "_SUCCESS"), True
-    ).close()
-    if fs.exists(snap_path):
-        fs.delete(snap_path, True)
-    if not fs.rename(staging_path, snap_path):
-        raise IOError(
-            f"failed to swap staged KG snapshot {staging} -> {snap}"
-        )
-    _prune_keep_last(spark, kg_dir, keep=2)
+    _commit_staged_snapshot(spark, kg_dir, staging, snap)
     return True
 
 

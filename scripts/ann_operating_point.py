@@ -37,9 +37,22 @@ DIM = 256
 K = 10
 NQ = 64
 CLUSTERS = 2_000
-SIGMA = 0.35
+# Per-coordinate noise.  The TOTAL noise norm is sigma*sqrt(dim) ~= 1.0
+# against unit centers: member-center cosine ~0.72, member-member
+# ~0.5 — clusters that overlap enough for the probe-depth/recall trade
+# to be visible while true neighbors remain same-cluster.  Calibration
+# history (kept for honesty, all three runs measured): 0.35 gave noise
+# norm 5.6 — near-uniform vectors, every index family <0.12 recall
+# (correctly: the ill-conditioned regime the header warns about); 0.04
+# gave cleanly separated clusters — IVF 0.997 at n_probe=1, no trade
+# visible; 0.095 overshot the other way — IVF 0.74 at n_probe=32,
+# the 0.95 band unreachable at sane cost.
+SIGMA = 0.0625
 SHARD = 50_000
-CORPUS_TMPL = "/tmp/dm8_ann_corpus_{n}"
+# the cache dir encodes every generative parameter: a _DONE-marked
+# corpus built under OLD parameters must never be silently reused for
+# an artifact that records the new ones (round-8 review finding)
+CORPUS_TMPL = "/tmp/dm8_ann_corpus_{n}_d{dim}_c{clusters}_s{sigma}"
 
 
 def _centers():
@@ -121,7 +134,9 @@ def main() -> None:
     )
     from driftmind_spark.session import get_spark
 
-    corpus = build_corpus(n, CORPUS_TMPL.format(n=n))
+    corpus = build_corpus(
+        n, CORPUS_TMPL.format(n=n, dim=DIM, clusters=CLUSTERS, sigma=SIGMA)
+    )
     print(f"corpus ready: {corpus}")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
@@ -154,10 +169,15 @@ def main() -> None:
         result["configs"].append(cfg)
         print(json.dumps(cfg))
 
-    for n_probe in (1, 2, 4, 8, 16):
+    for n_probe in (1, 2, 4, 8, 16, 32):
         run("ivf", ivf_topk, n_centroids=256, n_probe=n_probe,
             max_sample_rows=50_000)
-    for n_planes, n_tables in ((12, 8), (10, 8), (8, 8), (8, 16), (6, 16)):
+    # (6, 16) is deliberately absent: 64 buckets/table x 16 tables at 1M
+    # rows yields ~16M candidate pairs carrying two 256-d vectors each
+    # (~65 GB through the dedup exchange) — it filled the sandbox disk,
+    # and a candidate set that large is a worse brute force, not an
+    # operating point.
+    for n_planes, n_tables in ((12, 8), (10, 8), (8, 8), (8, 16)):
         run("lsh", lsh_topk, dim=DIM, n_planes=n_planes, n_tables=n_tables)
 
     # headline: cheapest config per family at the HNSW-comparable band

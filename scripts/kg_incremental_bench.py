@@ -19,8 +19,21 @@ the final snapshots must match exactly), and the read-time cost of the
 incremental edges VIEW vs the materialized table (the trade the design
 makes explicitly).
 
+Scale note (measured, kept in the artifact): at 100k synth pages the
+surface dictionary is tiny (~74 surfaces) and the full rebuild is
+already fixed-cost-bound (~3.5 s), so the incremental path's extra
+orchestration (state read, crossing check, band union, state writes)
+makes it SLOWER there — the crossover needs the O(corpus) terms
+(mention agg + materialized edge rewrite) to dominate, which the 1M run
+shows.  Deploy guidance follows from the curve: run incremental when
+the accumulated store is large relative to a micro-batch — exactly the
+crawl regime it exists for.
+
 Usage: PYTHONPATH=. python scripts/kg_incremental_bench.py \
-           [n_pages] [n_batches] [out_suffix]
+           [n_pages] [n_batches] [out_suffix] [pages_parquet_dir]
+``pages_parquet_dir`` overrides the bench synth corpus (e.g. the 1M
+full-stack corpus /tmp/dm6_corpus_1m_full/pages.parquet); n_pages is
+then informational only.
 Never run concurrently with pytest or bench.py (host-capacity drift).
 """
 
@@ -55,20 +68,24 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
-    corpus = _corpus_dir(n, *SCALING_SENT)
+    if len(sys.argv) > 4:
+        pages_path = sys.argv[4]
+    else:
+        pages_path = f"{_corpus_dir(n, *SCALING_SENT)}/pages.parquet"
 
-    out_full = f"/tmp/dm8_kginc_full_{n}"
-    out_inc = f"/tmp/dm8_kginc_inc_{n}"
+    out_full = f"/tmp/dm8_kginc_full_{n}{suffix}"
+    out_inc = f"/tmp/dm8_kginc_inc_{n}{suffix}"
     for d in (out_full, out_inc):
         shutil.rmtree(d, ignore_errors=True)
 
-    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    pages = spark.read.parquet(pages_path)
     # deterministic equal slices by url hash — the same pages reach the
     # same batch on every run
     sliced = pages.withColumn(
         "batch_id", F.pmod(F.xxhash64("url"), F.lit(n_batches)).cast("int")
     )
-    result = {"n_pages": n, "n_batches": n_batches, "cpus": cpus,
+    result = {"n_pages": pages.count(), "n_batches": n_batches,
+              "cpus": cpus, "pages_path": pages_path,
               "full": [], "incremental": []}
     for b in range(n_batches):
         tri = extract_triples_df(

@@ -473,6 +473,39 @@ def test_ivf_sampling_survives_residue_clustered_ids(spark, monkeypatch):
     assert 0 < seen["n"] <= 128, seen
 
 
+def test_ivf_sampling_dedups_repeated_vec_ids(spark, monkeypatch):
+    """Duplicate vec_ids (unioned embedding tables, replay appends)
+    must not multiply through the two-pass sampler (round 8: the narrow
+    takeOrdered + broadcast-fetch split fixed an O(partitions x cap x
+    dim) driver merge, and the fetch join must stay bounded too —
+    one training row per sampled id)."""
+    import numpy as np
+
+    from driftmind_spark.operators import similarity as sim
+
+    seen = {}
+    real_train = sim.train_ivf_centroids
+
+    def spy(sample, *a, **kw):
+        seen["n"] = len(sample)
+        return real_train(sample, *a, **kw)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", spy)
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(8).tolist()) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tripled = emb.unionByName(emb).unionByName(emb)  # every id x3
+    out = sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 3),
+        tripled.filter(F.col("vec_id") >= 3),
+        k=5, n_centroids=4, n_probe=2, max_sample_rows=100,
+    )
+    assert out.count() == 15
+    assert 0 < seen["n"] <= 100, (
+        f"duplicate ids multiplied the training sample: {seen['n']}"
+    )
+
+
 def test_ivf_explicit_oversized_sample_raises(spark):
     """Forcing sample_mod=1 past the cap must refuse the unbounded
     driver collect loudly instead of OOMing at scale."""
