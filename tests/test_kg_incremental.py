@@ -93,9 +93,13 @@ def test_incremental_nodes_matches_full_over_delta(spark, tmp_path):
     for c in fcaches:
         c.unpersist()
     assert got == want
-    # state grows by exactly the new surfaces' band rows
-    n_surfaces = len({r[1] for r in want})
-    assert bands_out.count() == n_surfaces * 32
+    # the returned band frame is the DELTA: exactly the new surfaces'
+    # band rows (the band dictionary is append-only — round 8's
+    # external delta store depends on this)
+    new_surfaces = {r[1] for r in want} - {
+        r["surface"] for r in prev_nodes.select("surface").collect()
+    }
+    assert bands_out.count() == len(new_surfaces) * 32
 
 
 def test_incremental_merge_of_two_prev_components(spark, tmp_path):
@@ -230,6 +234,12 @@ def test_stream_ingest_incremental_matches_full(spark, tmp_path_factory):
         "incremental snapshots serve edges as a view, not a copy"
     )
     assert not glob.glob(f"{outs['inc']}/kg/_tmp_snap_v=*"), "staging debris"
+    # band dictionary is an external append-only delta store: one delta
+    # per rebuild (bootstrap wrote the full dictionary as delta_v=0),
+    # never a rewritten union inside the snapshot
+    assert not os.path.exists(f"{snap}/state/bands")
+    deltas = sorted(glob.glob(f"{outs['inc']}/kg_bands/delta_v=*"))
+    assert len(deltas) == 3, deltas
 
     for table in ("nodes", "edges"):
         _same(read_kg_snapshot(spark, outs["inc"], table),
