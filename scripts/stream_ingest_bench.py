@@ -179,6 +179,7 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
             latest_kg_snapshot_version,
             read_kg_snapshot,
             rebuild_kg_snapshot,
+            rebuild_kg_snapshot_incremental,
         )
 
         # Finalize the snapshot tail (round-7 self-review): with
@@ -198,8 +199,14 @@ def _run_leg(spark, corpus: str, out: str, ckpt: str, n: int,
             t1 = time.monotonic()
             # forward the SAME KG knobs the stream's in-line rebuilds
             # used — a finalize with different n_buckets/salt would
-            # publish a snapshot incomparable with the stream's own
-            ok = rebuild_kg_snapshot(
+            # publish a snapshot incomparable with the stream's own;
+            # likewise the finalize must use the SAME rebuild variant
+            # (a full finalize over an incremental out_dir would still
+            # be exact but would not measure the incremental path)
+            rebuild = (rebuild_kg_snapshot_incremental
+                       if ingest_opts.get("kg_incremental")
+                       else rebuild_kg_snapshot)
+            ok = rebuild(
                 spark, out, last_batch,
                 aliases=ingest_opts.get("aliases"),
                 n_buckets=ingest_opts.get("n_buckets", 8),
@@ -228,8 +235,8 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
     legs = sys.argv[2].upper() if len(sys.argv) > 2 else "ABC"
     suffix = sys.argv[3] if len(sys.argv) > 3 else ""
-    if not legs or not set(legs) <= set("ABC"):
-        raise SystemExit(f"legs must be a non-empty subset of 'ABC', "
+    if not legs or not set(legs) <= set("ABCD"):
+        raise SystemExit(f"legs must be a non-empty subset of 'ABCD', "
                          f"got {sys.argv[2]!r}")
     if set(legs) != set("ABC") and not suffix:
         raise SystemExit(
@@ -285,6 +292,18 @@ def main() -> None:
                           result["gate_to_chunks_wordgram_sig"].items()
                           if k != "batches"}))
 
+    if "D" in legs:
+        # round-8 leg: the full KG path with the INCREMENTAL rebuild —
+        # same stages as leg B, rebuilds via delta-linking + contracted
+        # CC with edges as a read-time view (kg/incremental.py)
+        result["full_kg_path_incremental"] = _run_leg(
+            spark, corpus, f"/tmp/dm8_stream_out_d_{n}",
+            f"/tmp/dm8_stream_ckpt_d_{n}", n,
+            triples=True, kg_every=3, kg_incremental=True, aliases=aliases)
+        print("leg D (+triples, kg_every=3, INCREMENTAL rebuilds):",
+              json.dumps({k: v for k, v in
+                          result["full_kg_path_incremental"].items()
+                          if k != "batches"}))
     out_path = os.path.join(REPO, "BENCH", f"stream_ingest_r7{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
