@@ -268,9 +268,15 @@ def incremental_nodes(
     dst_map = prev_map.withColumnRenamed("mention_id", "dst").withColumnRenamed(
         "canonical_id", "dst_c"
     )
+    # NO broadcast hint on the canonical map: it is dictionary-sized
+    # (fine today, 100M+ rows over a crawl's lifetime), and an explicit
+    # hint would force a driver-side broadcast regardless — AQE already
+    # picks broadcast when the map is genuinely small and a shuffle
+    # join when it is not, and the probe side (new edges) is
+    # delta-sized either way.
     contracted = (
-        new_edges.join(F.broadcast(src_map), "src", "left")
-        .join(F.broadcast(dst_map), "dst", "left")
+        new_edges.join(src_map, "src", "left")
+        .join(dst_map, "dst", "left")
         .select(
             F.coalesce("src_c", F.col("src")).alias("src"),
             F.coalesce("dst_c", F.col("dst")).alias("dst"),
