@@ -170,8 +170,16 @@ def hashed_ngram_embeddings_batch(texts: list[str], dim: int = 256) -> np.ndarra
         feats.extend(fs)
         counts[i] = len(fs)
     if feats:
-        hs = np.fromiter((_feature_hash(f) for f in feats),
-                         dtype=np.uint64, count=len(feats))
+        # inline the memo hit path (dict.get bound once, list comp): the
+        # per-feature generator + function call + double dict lookup of
+        # the fromiter(_feature_hash(f)) form was ~20% of the whole fused
+        # chunk kernel; same values, same cache, same bound.
+        cache_get = _FEATURE_HASH_CACHE.get
+        hs = np.array(
+            [h if (h := cache_get(f)) is not None else _feature_hash(f)
+             for f in feats],
+            dtype=np.uint64,
+        )
         buckets = (hs % np.uint64(dim)).astype(np.int64)
         signs = np.where((hs >> np.uint64(63)) & np.uint64(1), 1.0, -1.0)
         rows = np.repeat(np.arange(n, dtype=np.int64), counts)

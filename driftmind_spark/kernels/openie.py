@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from .textproc import net_trim, split_into_sentences
+from .textproc import _NET_WHITESPACE_STR, net_trim, split_into_sentences
 from .vocab import PREDICATES
 
 # Verb phrases sorted longest-first per language so the longest anchor wins
@@ -28,6 +28,14 @@ for _pred, _by_lang in PREDICATES.items():
         _PHRASES.setdefault(_lang, []).append((_phrase, _pred))
 for _lang in _PHRASES:
     _PHRASES[_lang].sort(key=lambda t: -len(t[0]))
+
+# Hot-loop variant of the same table, precomputed once at import: the
+# padded " phrase " anchor (the per-sentence f-string concat was a
+# measurable cost at ~7 phrase probes per sentence).
+_ANCHORS: dict[str, list[tuple[str, str]]] = {
+    lang: [(f" {phrase} ", pred) for phrase, pred in pairs]
+    for lang, pairs in _PHRASES.items()
+}
 
 # An entity-shaped argument: 1..6 capitalized/acronym/initial tokens,
 # allowing connectors like "&", hyphens, dots ("Quasar A.I.", "A. Turing").
@@ -45,8 +53,19 @@ _ADJUNCT_RE = re.compile(
 _TRAIL_PUNCT = ".!?,;: "
 
 
+# First characters _ENTITY_RE can accept.  The cleaned argument's first
+# character is the first non-whitespace character remaining after the
+# trailing strips (the adjunct sub and final trim only shorten the tail
+# or strip whitespace), so a cheap first-char test rejects most
+# non-entity arguments before any regex runs.
+_ENTITY_FIRST = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜ0123456789")
+
+
 def _clean_argument(arg: str) -> str | None:
     arg = net_trim(arg).strip(_TRAIL_PUNCT)
+    head = arg.lstrip(_NET_WHITESPACE_STR)
+    if not head or head[0] not in _ENTITY_FIRST:
+        return None
     arg = _ADJUNCT_RE.sub("", arg)
     arg = net_trim(arg)
     if not arg or len(arg) > 64:
@@ -60,20 +79,20 @@ def extract_triples_from_sentence(
     sentence: str, lang: str = "en"
 ) -> list[tuple[str, str, str, float]]:
     """Extract ``(subj, pred, obj, conf)`` tuples from one sentence."""
-    phrases = _PHRASES.get(lang) or _PHRASES["en"]
-    out: list[tuple[str, str, str, float]] = []
-    for phrase, pred in phrases:
-        anchor = f" {phrase} "
+    anchors = _ANCHORS.get(lang) or _ANCHORS["en"]
+    for anchor, pred in anchors:
         idx = sentence.find(anchor)
         if idx <= 0:
             continue
         subj = _clean_argument(sentence[:idx])
-        obj = _clean_argument(sentence[idx + len(anchor):])
-        if subj is None or obj is None:
+        if subj is None:
             continue
-        out.append((subj, pred, obj, 0.9))
-        break  # longest-anchor-wins; one triple per sentence by construction
-    return out
+        obj = _clean_argument(sentence[idx + len(anchor):])
+        if obj is None:
+            continue
+        # longest-anchor-wins; one triple per sentence by construction
+        return [(subj, pred, obj, 0.9)]
+    return []
 
 
 def extract_triples(text: str | None, lang: str = "en") -> list[tuple[str, str, str, float]]:

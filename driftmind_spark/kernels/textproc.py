@@ -12,6 +12,8 @@ executors with zero extra dependencies.
 
 from __future__ import annotations
 
+import re as _sentence_re
+
 # ---------------------------------------------------------------------------
 # .NET-compatible whitespace handling.
 #
@@ -22,11 +24,12 @@ from __future__ import annotations
 # this predicate, so we port it exactly.
 # ---------------------------------------------------------------------------
 
-_NET_WHITESPACE = frozenset(
+_NET_WHITESPACE_STR = (
     "\t\n\x0b\x0c\r \x85\xa0\u1680"
     "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
     "\u2028\u2029\u202f\u205f\u3000"
 )
+_NET_WHITESPACE = frozenset(_NET_WHITESPACE_STR)
 
 
 def is_net_whitespace(ch: str) -> bool:
@@ -34,26 +37,32 @@ def is_net_whitespace(ch: str) -> bool:
 
 
 def net_trim(s: str) -> str:
-    """Port of .NET ``string.Trim()``."""
-    start, end = 0, len(s)
-    while start < end and s[start] in _NET_WHITESPACE:
-        start += 1
-    while end > start and s[end - 1] in _NET_WHITESPACE:
-        end -= 1
-    return s[start:end]
+    """Port of .NET ``string.Trim()``: ``str.strip`` against the exact
+    .NET whitespace set (C-level scan; the set-membership char loop this
+    replaces was a top-3 cost of the whole chunk/triple kernel path)."""
+    return s.strip(_NET_WHITESPACE_STR)
 
 
 def is_null_or_whitespace(s: str | None) -> bool:
     """Port of .NET ``string.IsNullOrWhiteSpace``."""
-    if s is None or s == "":
-        return True
-    return all(c in _NET_WHITESPACE for c in s)
+    return s is None or s.strip(_NET_WHITESPACE_STR) == ""
 
 
 # ---------------------------------------------------------------------------
 # Sentence splitting + chunking
 # (Services/TextChunkingService.cs:10-78)
 # ---------------------------------------------------------------------------
+
+
+# A sentence boundary is a '.', '!' or '?' that is the last character of
+# the text (\Z, NOT $ — $ would also fire before a trailing newline and
+# double-count that terminator) or is immediately followed by a .NET
+# whitespace char.  finditer walks left to right exactly like the
+# original per-character loop; each boundary closes the sentence that
+# includes the terminator itself.
+_SENTENCE_BOUNDARY_RE = _sentence_re.compile(
+    "[.!?](?=[%s])|[.!?]\\Z" % _sentence_re.escape(_NET_WHITESPACE_STR)
+)
 
 
 def split_into_sentences(text: str) -> list[str]:
@@ -63,19 +72,25 @@ def split_into_sentences(text: str) -> list[str]:
     A sentence ends at '.', '!' or '?' when it is the last character of the
     text or the next character is whitespace.  Sentences are trimmed and
     whitespace-only entries dropped.
+
+    Implemented as a compiled-regex boundary scan (the per-character
+    Python loop it replaces was 53% of the whole chunk+triple kernel
+    profile); the emitted sentences are byte-identical — the original
+    trimmed every piece with ``net_trim`` and dropped whitespace-only
+    entries, which is exactly "trim each slice, keep non-empty".
     """
     sentences: list[str] = []
-    current: list[str] = []
-    n = len(text)
-    for i, ch in enumerate(text):
-        current.append(ch)
-        if ch in ".!?" and (i == n - 1 or text[i + 1] in _NET_WHITESPACE):
-            sentences.append(net_trim("".join(current)))
-            current = []
-    tail = "".join(current)
-    if not is_null_or_whitespace(tail):
-        sentences.append(net_trim(tail))
-    return [s for s in sentences if not is_null_or_whitespace(s)]
+    start = 0
+    for m in _SENTENCE_BOUNDARY_RE.finditer(text):
+        end = m.end()
+        s = text[start:end].strip(_NET_WHITESPACE_STR)
+        if s:
+            sentences.append(s)
+        start = end
+    tail = text[start:].strip(_NET_WHITESPACE_STR)
+    if tail:
+        sentences.append(tail)
+    return sentences
 
 
 def chunk_text(text: str | None, chunk_size: int = 300, overlap: int = 20) -> list[str]:
