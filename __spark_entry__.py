@@ -99,6 +99,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Memo of _spread decisions keyed by (input files, parallelism).  This
+# caches a PARTITIONING decision derived from file metadata, never any
+# query result; it exists because the row-group probe costs a few ms and
+# the same table backs many queries in one process.
+_SPREAD_CACHE: dict[tuple, bool] = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Input-skew guard (optimization guide §2.5: "one huge unsplittable
+    file ... repartition immediately after the read").
+
+    Parquet scans parallelize at ROW-GROUP granularity: the sf test
+    tables are single-row-group files, so a scan feeds ONE task no
+    matter how small ``maxPartitionBytes`` is — and every narrow per-row
+    pipeline above it (shingle md5s, n-gram construction, regex scoring,
+    the Arrow chunker) runs on one core of the whole machine.
+    Round-robin repartition to the session's default parallelism, but
+    ONLY when the input's total row-group count cannot feed at least
+    half the cores: at cluster scale an input has thousands of files and
+    row groups and this is a structural no-op, so nothing here is tuned
+    to local[32].  Used by the queries whose per-row compute dominates
+    the scan; pure scan+aggregate queries keep their unshuffled shape."""
+    target = spark.sparkContext.defaultParallelism
+    files = tuple(sorted(df.inputFiles()))
+    key = (files, target)
+    hint = _SPREAD_CACHE.get(key)
+    if hint is None:
+        if len(files) * 2 >= target:
+            hint = False  # enough scan tasks from file count alone
+        else:
+            try:
+                import pyarrow.parquet as _pq
+
+                groups = 0
+                for f in files:
+                    path = f[7:] if f.startswith("file://") else \
+                        f[5:] if f.startswith("file:") else f
+                    groups += _pq.ParquetFile(path).num_row_groups
+                    if groups * 2 >= target:
+                        break
+                hint = groups * 2 < target
+            except Exception:
+                hint = False  # non-local / non-parquet: assume splittable
+        _SPREAD_CACHE[key] = hint
+    return df.repartition(target) if hint else df
+
+
 def _epoch(col):
     """TIMESTAMP_NTZ -> epoch seconds (session TZ pinned to UTC, so this
     equals DuckDB's epoch() on the same naive timestamp)."""
@@ -368,7 +415,7 @@ def q_running_sum(spark, sf_dir):
 
 def q_terms(spark, sf_dir):
     """F4 meaningful terms, exploded (one row per doc_id x term)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.explode(terms_array(F.col("text"), STOP_WORDS)).alias("term")
     )
@@ -376,7 +423,7 @@ def q_terms(spark, sf_dir):
 
 def q_normalize(spark, sf_dir):
     """F3 normalization (SQL flavor: whitespace-run collapse)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("norm_text"),
@@ -388,15 +435,15 @@ def q_quality(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    return ts.lang_id(_t(spark, sf_dir, "documents"))
+    return ts.lang_id(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_token_counts(spark, sf_dir):
-    return ts.token_counts(_t(spark, sf_dir, "documents"))
+    return ts.token_counts(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_fingerprints(spark, sf_dir):
-    return ts.fingerprints(_t(spark, sf_dir, "documents"))
+    return ts.fingerprints(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -405,7 +452,7 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.2, block_col="source"
+        _spread(spark, _t(spark, sf_dir, "documents")), n=3, threshold=0.2, block_col="source"
     )
 
 
@@ -415,14 +462,14 @@ def q_minhash_lsh(spark, sf_dir):
     and a verified flag — the arithmetic the corpus-dedup pipeline
     stage's pair filter runs, mirrored exactly in the DuckDB oracle."""
     return dd.minhash_lsh_verified_pairs(
-        _t(spark, sf_dir, "documents"),
+        _spread(spark, _t(spark, sf_dir, "documents")),
         num_perm=16, bands=4, min_agreement=0.75, keep_all=True,
     )
 
 
 def q_truncate(spark, sf_dir):
     """T6 word-boundary truncation."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("doc_id", truncate_at_word(F.col("text"), 150).alias("sample"))
 
 
@@ -492,7 +539,7 @@ def q_hmac_tokens(spark, sf_dir):
         verify_token,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     payload = F.concat(
         F.lit('{"doc_id":'), F.col("doc_id"), F.lit(',"exp":1767225600}')
     )
@@ -519,7 +566,7 @@ def q_hmac_tokens(spark, sf_dir):
 def q_relevance(spark, sf_dir):
     """F5: exact-match text relevance + 0.7/0.3 blend (SQL-expressible
     part; the full partial/synonym port is the pandas UDF in entry())."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     terms = terms_array(F.col("text"), STOP_WORDS)
     qlit = F.array(*[F.lit(t) for t in _QUERY_TERMS])
     exact = F.size(F.array_intersect(terms, qlit))
@@ -535,7 +582,7 @@ def q_relevance(spark, sf_dir):
 def q_followup(spark, sf_dir):
     """F7 follow-up classifier (full rule, SQL-expressible form) applied
     to the first 60 chars of each doc as a pseudo-query."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     q = F.trim(F.lower(F.substring("text", 1, 60)))
     n_words = F.size(F.split(q, " ", -1))
     starts_qw = None
@@ -556,7 +603,7 @@ def q_followup(spark, sf_dir):
 
 def q_weighted_words(spark, sf_dir):
     """A5 keyword weighting with decay: explode -> weighted sum -> top-20."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.lower("text"), r"[ \n\t.,;:!?]+"),
         lambda t: (F.length(t) > 3)
@@ -643,7 +690,7 @@ def q_catalog_top3(spark, sf_dir):
     from driftmind_spark.functions.text import truncate_at_word
     from driftmind_spark.functions.udfs import make_chunk_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     chunk_udf = make_chunk_udf(300, 20)
     chunks = d.select(
         "doc_id", F.posexplode(chunk_udf("text")).alias("chunk_index", "content")
@@ -675,7 +722,7 @@ def _legacy_chunks_df(spark, sf_dir):
     deliberately wrong content_type everywhere."""
     from driftmind_spark.functions.udfs import make_chunk_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     chunks = d.select(
         "doc_id", "n_chars",
         F.posexplode(make_chunk_udf(300, 20)("text")).alias(
@@ -797,7 +844,7 @@ def q_simhash_pairs(spark, sf_dir):
     guaranteed recall at hamming <= 3 (the WWW'07 production setting) —
     the round-2 single-prefix band missed pairs whose diff bits landed
     in the top 16 bits."""
-    return dd.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return dd.simhash_near_dups(_spread(spark, _t(spark, sf_dir, "documents")), max_hamming=3)
 
 
 
@@ -815,7 +862,7 @@ def q_contains_join(spark, sf_dir):
     need the probe-side bounded first (e.g. `.limit()` or a pre-filter);
     operators/search.py's history path passes literal lists, never a
     table."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "source")
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         F.broadcast(b),
@@ -897,7 +944,7 @@ def q_sanitize(spark, sf_dir):
     (F11 Base64 round-trip)."""
     from driftmind_spark.functions.text import sanitize_filename_col
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     raw = F.concat(F.lit("Über "), F.col("source"), F.lit(" / report?<доc>.pdf"))
     trans_raw = F.concat(
         F.lit("Müller_"), F.col("source"), F.lit("_Größe_Überfluß")

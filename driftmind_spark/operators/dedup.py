@@ -110,6 +110,19 @@ def ngram_jaccard_pairs(
         "block", "doc_id", F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
     )
+    # Plan-reuse anchor (see _minhash_signatures): the pair join infers
+    # isnotnull on its join keys and pushes them into ITS postings
+    # copies but not the hot-gram aggregation's copy, so the three
+    # occurrences of the tokenize+gram+explode subtree stop being
+    # identical and each is recomputed.  Null keys cannot form pairs
+    # (inner equi-join) nor affect a real block's cap, so filtering them
+    # everywhere keeps results identical while restoring exchange reuse
+    # (measured 2.9s -> 2.3s on the sf0.1 oracle query).
+    postings = postings.filter(
+        F.col("doc_id").isNotNull()
+        & F.col("block").isNotNull()
+        & F.col("gram").isNotNull()
+    )
     if max_gram_df is not None:
         # anti-join against the HOT grams only: the over-cap list is tiny
         # by construction (few ubiquitous boilerplate grams), so it
@@ -155,8 +168,15 @@ def hot_gram_stats(
         F.size(toks) >= n, F.array_distinct(_word_ngrams_col(toks, n))
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     postings = docs.select(
-        F.col(block_col).alias("block"), F.explode(grams).alias("gram")
-    )
+        F.col("doc_id"), F.col(block_col).alias("block"),
+        F.explode(grams).alias("gram"),
+    ).filter(
+        # same null exclusion as ngram_jaccard_pairs, so the observed
+        # buckets provably match the buckets the pair path capped on
+        F.col("doc_id").isNotNull()
+        & F.col("block").isNotNull()
+        & F.col("gram").isNotNull()
+    ).select("block", "gram")
     return (
         postings.groupBy("block", "gram")
         .agg(F.count("*").alias("gram_df"))
@@ -272,7 +292,20 @@ def _minhash_signatures(
     hash: measured on 100k crawl pages, the 64-perm signature stage
     drops 85.8 s (char+md5) -> 7.1 s.  The two paths give different
     (but equally valid) signatures, so a corpus must pick one and stick
-    to it."""
+    to it.
+
+    The explicit ``doc_id IS NOT NULL`` filter below is a PLAN-REUSE
+    anchor, not a semantic filter (a null-id doc could never survive the
+    downstream id-equi-joins anyway): the verification joins infer
+    ``isnotnull(doc_id)`` onto THEIR copies of this subtree and push it
+    into the scan, while the banding/stats copies don't — non-identical
+    subtrees, so AQE's exchange/stage reuse cannot fire and the whole
+    shingle+md5 pipeline runs once per copy.  With the filter present in
+    every copy the inferred constraint is already satisfied, the five
+    occurrences canonicalize identically, and the signature stage is
+    computed exactly once per action (measured 1.9s -> 1.3s on the
+    sf0.1 oracle query)."""
+    docs = docs.filter(F.col("doc_id").isNotNull())
     params = minhash_params(num_perm)
     if not portable:
         norm = docs.select("doc_id", NORM(F.col(text_col)).alias("t"))
@@ -309,14 +342,7 @@ def _minhash_signatures(
             )
             .select("doc_id", F.pmod(F.col("h"), F.lit(_MINHASH_P)).alias("x"))
         )
-        return sh.groupBy("doc_id").agg(
-            *[
-                F.min(
-                    F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MINHASH_P))
-                ).alias(f"s{i}")
-                for i, (a, b) in enumerate(params)
-            ]
-        )
+        return sh.groupBy("doc_id").agg(*_sig_agg_exprs(params))
     # Shingle generation is row-explode, NOT transform(sequence, i ->
     # substring(norm, i, k)): inside a HOF lambda the normalized-text
     # expression is re-evaluated PER ELEMENT (no loop-invariant hoisting
@@ -352,14 +378,21 @@ def _minhash_signatures(
             ).alias("x"),
         )
     )
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MINHASH_P))
-            ).alias(f"s{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
+    return sh.groupBy("doc_id").agg(*_sig_agg_exprs(params))
+
+
+def _sig_agg_exprs(params: list[tuple[int, int]]) -> list:
+    """The per-permutation ``min(pmod(a*x+b, P))`` aggregate columns as
+    parsed SQL strings.  One ``F.expr`` per permutation instead of ~6
+    chained py4j Column calls: the Column-object form spent ~1.4s of
+    every COLD minhash query purely constructing the expression tree
+    through the Python/JVM bridge (64 perms x 2 verification sides x
+    banding).  The parsed expressions are type-identical — a and b fit
+    int32, so the parser assigns the same int literals F.lit did."""
+    return [
+        F.expr(f"min(pmod({a} * x + {b}, {_MINHASH_P})) AS s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
 
 
 def _minhash_banded(
@@ -379,24 +412,29 @@ def _melt_bands(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """Fold a signature frame into exploded (doc_id, band_idx, band_hash)
     rows (``num_perm // bands`` signature slots hashed per band)."""
     rows_per_band = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [
-            F.col(f"s{i}").cast("string")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_cols.append(
-            F.md5(F.concat_ws("|", *cols)).alias(f"band{b}")
-        )
-    banded = sig.select("doc_id", *band_cols)
-    melted = banded.select(
+    # string-expression forms for the same reason as _sig_agg_exprs:
+    # these selects run at query-BUILD time on every cold invocation
+    banded = sig.selectExpr(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+        *[
+            "md5(concat_ws('|', {})) AS band{}".format(
+                ", ".join(
+                    f"cast(s{i} as string)"
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ),
+                b,
+            )
+            for b in range(bands)
+        ],
+    )
+    melted = banded.selectExpr(
+        "doc_id",
+        "explode(array({})) AS bh".format(
+            ", ".join(
+                f"struct({b} as band_idx, band{b} as band_hash)"
                 for b in range(bands)
-            ])
-        ).alias("bh"),
+            )
+        ),
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
     return melted
 
@@ -792,21 +830,19 @@ def minhash_lsh_verified_pairs(
         .distinct()
     )
     need = int(-(-min_agreement * num_perm // 1))  # ceil
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_perm)],
+    sig_a = sig.selectExpr(
+        "doc_id AS doc_a", *[f"s{i} AS a{i}" for i in range(num_perm)]
     )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_perm)],
+    sig_b = sig.selectExpr(
+        "doc_id AS doc_b", *[f"s{i} AS b{i}" for i in range(num_perm)]
     )
-    agreement = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)
+    agreement = " + ".join(
+        f"cast((a{i} = b{i}) as int)" for i in range(num_perm)
     )
     scored = (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .withColumn("agreement", agreement.cast("int"))
+        .withColumn("agreement", F.expr(f"cast({agreement} as int)"))
     )
     if keep_all:
         return scored.select(
