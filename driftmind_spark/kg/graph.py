@@ -68,11 +68,16 @@ def build_edges(
     table (re-deriving nodes per join side would re-run the whole
     linking lineage twice), with the salted bucket key.
 
-    The canonical map is |distinct surfaces| — broadcastable here; at
-    10^12 docs it is still dictionary-sized (Zipf), but if it ever
-    exceeds the broadcast cap Catalyst falls back to SMJ on `surface`."""
+    No broadcast hint on the canonical map: an explicit hint FORCES the
+    broadcast regardless of size (Catalyst does not fall back to SMJ),
+    and over a crawl lifetime the surface dictionary reaches 100M+ rows
+    — an explicit hint here would force an oversized driver-side
+    broadcast on every edges read.  AQE picks broadcast when the map's
+    measured size fits (the sandbox case) and a shuffle join when it
+    does not — the same reasoning that removed the hint from the
+    contracted-CC canonical map in kg/incremental.py."""
     canon = nodes.select("surface", "canonical_id", "canonical_surface")
-    b_canon = F.broadcast(canon)
+    b_canon = canon
     return (
         triples
         .join(

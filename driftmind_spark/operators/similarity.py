@@ -240,10 +240,18 @@ def ivf_topk(
         id_df = spark.createDataFrame(
             ids, corpus.select("vec_id").schema
         )
+        # one row per sampled id with a DETERMINISTIC pick when a
+        # duplicate vec_id carries conflicting embeddings (unioned
+        # tables, replay appends): min_by on the embedding's hash —
+        # dropDuplicates chose whichever copy a partition happened to
+        # deliver first, which broke the docstring's determinism claim
         sample_rows = (
             corpus.join(F.broadcast(id_df), "vec_id")
-            .dropDuplicates(["vec_id"])
-            .select("vec_id", "embedding")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("embedding", F.xxhash64("embedding"))
+                .alias("embedding")
+            )
             .collect()
         )
     else:

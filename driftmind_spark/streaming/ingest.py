@@ -433,6 +433,16 @@ def rebuild_kg_snapshot(
         if triples_schema is not None:
             raise
         return False
+    # pin the snapshot to its version exactly like the incremental
+    # variant and the edges view do: a post-hoc rebuild at a version
+    # below the store head must publish content as of THAT version, not
+    # whatever newer batches happen to have landed (batch_id is a
+    # partition column — this prunes, not scans).  Stores without the
+    # batch_id partition (a caller-pinned schema over a not-yet-written
+    # dir, or a batch-pipeline-shaped table) have no version lineage to
+    # pin, so they keep the full-store semantics.
+    if "batch_id" in triples_all.columns:
+        triples_all = triples_all.filter(F.col("batch_id") <= version)
     if triples_all.isEmpty():
         return False
 

@@ -2178,3 +2178,39 @@ def test_sig_banded_wordgram_null_text_gated(spark):
     sa = banded.filter("url='a'").select("sig").first()[0]
     sb = banded.filter("url='b'").select("sig").first()[0]
     assert sa == sb
+
+
+def test_rebuild_kg_snapshot_pins_version(spark, tmp_path_factory):
+    """A post-hoc FULL rebuild at a version below the triples-store head
+    must publish content as of THAT version (batch_id <= version), not
+    fold in newer batches — the same pinning the incremental variant and
+    the edges view already apply, so both variants publish identical
+    content for any (out_dir, version)."""
+    from driftmind_spark.kg.triples import extract_triples_df
+    from driftmind_spark.streaming.ingest import (
+        read_kg_snapshot,
+        rebuild_kg_snapshot,
+    )
+    from driftmind_spark.synth import generate_pages
+
+    out = str(tmp_path_factory.mktemp("pinned_out"))
+    for batch in range(2):
+        pages, _ = generate_pages(25, start=batch * 25, min_sent=6,
+                                  max_sent=10)
+        df = spark.createDataFrame(pages.to_pandas())
+        (extract_triples_df(df, use_text_column=True)
+         .withColumn("batch_id", F.lit(batch))
+         .write.mode("append").partitionBy("batch_id")
+         .parquet(f"{out}/triples"))
+
+    batch0_urls = {
+        r[0] for r in spark.read.parquet(f"{out}/triples")
+        .filter("batch_id = 0").select("url").distinct().collect()
+    }
+    assert rebuild_kg_snapshot(spark, out, version=0)
+    edges = read_kg_snapshot(spark, out, "edges")
+    snap_urls = {r[0] for r in edges.select("url").distinct().collect()}
+    assert snap_urls, "pinned snapshot must not be empty"
+    assert snap_urls <= batch0_urls, (
+        "version-0 snapshot leaked batch-1 content"
+    )
