@@ -35,11 +35,15 @@ _TERM_SPLIT_PATTERN = r"[ ,.!?:;\-()\[\]\n\r]+"
 
 def terms_array(col: Column, stop_words: tuple[str, ...]) -> Column:
     # array_except is a hash-set difference (and dedupes), vs an O(|stop|)
-    # array_contains scan per token inside a filter lambda
+    # array_contains scan per token inside a filter lambda.
+    # sort_array, not array_sort: identical ascending order on these
+    # null-free arrays (the two differ only in null placement), but
+    # array_sort expands to a lambda-comparator expression — more
+    # generated code to compile per cold query and a slower sort.
     stop_lit = F.array(*[F.lit(w) for w in stop_words])
     toks = F.split(F.lower(col), _TERM_SPLIT_PATTERN)
     long_enough = F.filter(toks, lambda t: F.length(t) > 2)
-    return F.array_sort(F.array_except(long_enough, stop_lit))
+    return F.sort_array(F.array_except(long_enough, stop_lit))
 
 
 # ---------------------------------------------------------------------------
