@@ -24,6 +24,23 @@ from driftmind_spark.kernels import textproc as tp
         ("   ", []),
         ("?. !", ["?.", "!"]),
         ("Tabs\tstay. Next.", ["Tabs\tstay.", "Next."]),
+        # regex-splitter edge cases (round 9: the per-char loop became a
+        # compiled boundary scan — these pin the exact equivalences the
+        # differential fuzz relied on):
+        # $ vs \Z: a '?' before a trailing newline fires via the
+        # whitespace LOOKAHEAD, not the end-anchor — exactly once
+        ("Really?\n", ["Really?"]),
+        # run of terminators: the run stays inside the sentence until a
+        # terminator is followed by whitespace/EOF
+        ("Wait...done. Next.", ["Wait...done.", "Next."]),
+        ("Wait... Done.", ["Wait...", "Done."]),
+        # .NET-specific whitespace (NBSP, ideographic space) counts as a
+        # boundary successor and is trimmed from the pieces
+        ("A.\xa0B.", ["A.", "B."]),
+        ("A.\u3000B", ["A.", "B"]),
+        # whitespace-only piece between boundaries is dropped
+        ("A. \t . B.", ["A.", ".", "B."]),
+        ("!", ["!"]),
     ],
 )
 def test_split_into_sentences(text, expected):
