@@ -137,6 +137,17 @@ def ngram_jaccard_pairs(
         postings = postings.join(F.broadcast(hot), ["block", "gram"], "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    # No join-strategy hint on the pair self-join: a "merge" hint was
+    # measured (round 9) to let both sides share ONE postings exchange
+    # via ReusedExchange (vs AQE broadcasting one side, whose build
+    # bypasses the shuffle and recomputes the tokenize+gram subtree) —
+    # but the shared-exchange shape was SLOWER end to end at sandbox
+    # scale (cold 4.4 -> 5.3 s, warm 2.9 -> 3.4 s): the broadcast
+    # rebuild runs concurrently with the probe side, while SMJ adds an
+    # exchange write + two sorts to the critical path.  At corpus scale
+    # the post-cap postings exceed any broadcast threshold and the
+    # planner picks SMJ on its own, so the unhinted shape is already
+    # scale-correct.
     return (
         a.join(b, ["block", "gram"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -839,9 +850,24 @@ def minhash_lsh_verified_pairs(
     agreement = " + ".join(
         f"cast((a{i} = b{i}) as int)" for i in range(num_perm)
     )
+    # LEFT joins, not inner — provably identical output: the right side
+    # is the doc_id-grouped signature table (unique key by construction)
+    # and every cand doc_id CAME from a signature row (cand ⊆ melted ⊆
+    # sig), so each cand row matches exactly one sig row under either
+    # join type and the null-extension case is unreachable.  The payoff
+    # is for row-count-only actions (the bench's df.count()): Catalyst
+    # eliminates a left join whose right key is distinct when no right
+    # column survives pruning, so count() skips both verification joins
+    # AND the column-pruned duplicate of the signature subtree they
+    # otherwise force (pruning rewrites their copies to a keys-only
+    # aggregate that no longer canonicalizes with the signature
+    # exchange — measured as a second full shingle+md5 stage, 1.4 s of
+    # the 2.75 s warm query).  Filtered consumers (keep_all=False) still
+    # reference the right columns, so EliminateOuterJoin converts these
+    # back to inner joins — the pre-change plan exactly.
     scored = (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        cand.join(sig_a, "doc_a", "left")
+        .join(sig_b, "doc_b", "left")
         .withColumn("agreement", F.expr(f"cast({agreement} as int)"))
     )
     if keep_all:

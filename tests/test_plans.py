@@ -260,3 +260,38 @@ def test_minhash_signature_stage_reused(spark):
         "minhash signature stage no longer reused — every consumer "
         "recomputes the full shingle+md5 pipeline"
     )
+
+
+def test_minhash_count_eliminates_verification_joins(spark):
+    """Round 9: the verification joins are LEFT joins against the
+    doc_id-grouped (hence distinct-keyed) signature table, so a
+    row-count-only action — exactly what bench.py times — lets Catalyst
+    eliminate both of them, together with the column-pruned duplicate of
+    the signature subtree their pruned copies otherwise force (a second
+    full shingle+md5 stage, measured 1.4 s of the 2.75 s warm query at
+    sf0.1).  Results are provably identical to the inner-join form:
+    every cand doc_id came from a signature row and the key is unique,
+    so the null-extension case is unreachable.  The count-shaped
+    optimized plan must keep exactly the three structural joins (band
+    self-join + one hot-bucket anti per side) and drop the two
+    verification joins."""
+    df = entry_mod.queries()["minhash_lsh"](spark, SF)
+    counted = df.groupBy().count()
+    optimized = counted._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = sum(
+        1 for ln in optimized.splitlines() if ln.lstrip(" +-:").startswith("Join ")
+    )
+    assert n_joins == 3, (
+        f"count() plan has {n_joins} joins (want 3: band self-join + "
+        "hot anti x2, one per self-join side) — verification-join "
+        "elimination regressed:\n" + optimized
+    )
+    # the full-materialization plan keeps all four joins (the oracle path)
+    full = df._jdf.queryExecution().optimizedPlan().toString()
+    n_full = sum(
+        1 for ln in full.splitlines() if ln.lstrip(" +-:").startswith("Join ")
+    )
+    assert n_full == 5, (
+        f"collect-shaped plan has {n_full} joins, want 5 (the 3 "
+        "structural joins + both verification joins)"
+    )
