@@ -118,17 +118,32 @@ def truncate_at_word(col: Column, max_length: int = 150) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm as the exact left-fold aggregate ``cosine_sim``
+    uses, split out so join operators can HOIST it to before the join:
+    each side's norm is then evaluated once per vector instead of once
+    per candidate pair (pure common-subexpression motion — same
+    expression, same float summation order, bit-identical values)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim_prenorm(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """``cosine_sim`` with the two norms supplied as precomputed columns
+    (see ``l2_norm``).  Only the dot product remains per-pair work."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return F.when(
         (F.size(a) != F.size(b)) | (na == 0.0) | (nb == 0.0), F.lit(0.0)
     ).otherwise(dot / (na * nb))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return cosine_sim_prenorm(a, b, l2_norm(a), l2_norm(b))
 
 
 # ---------------------------------------------------------------------------

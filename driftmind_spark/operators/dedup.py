@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import cosine_sim
+from ..functions.text import cosine_sim_prenorm, l2_norm
 from ..functions.udfs import simhash_udf
 
 NORM = lambda c: F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")  # noqa: E731
@@ -680,9 +680,13 @@ def embedding_near_dups(
     in the DuckDB oracle."""
     budf = _near_dup_key_udf(dim, n_planes, n_tables, seed, n_probes)
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # vector norm hoisted to the pre-explode projection (see
+    # functions.text.l2_norm): evaluated once per vector instead of once
+    # per candidate pair in the verification cosine — bit-identical
     base = embeddings.select(
         F.col("vec_id"),
         vec_d.alias("vec"),
+        l2_norm(vec_d).alias("vn"),
         F.explode(budf("embedding")).alias("bucket_key"),
     )
     if max_bucket_size is not None:
@@ -694,7 +698,9 @@ def embedding_near_dups(
         )
         base = base.join(F.broadcast(hot), ["bucket_key"], "left_anti")
     a, b = base.alias("a"), base.alias("b")
-    cos = cosine_sim(F.col("a.vec"), F.col("b.vec"))
+    cos = cosine_sim_prenorm(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.vn"), F.col("b.vn")
+    )
     return (
         a.join(b, "bucket_key")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))

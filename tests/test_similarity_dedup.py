@@ -840,3 +840,41 @@ def test_corpus_dedup_params_none_disables_cap(spark):
         docs, **corpus_dedup_params(max_bucket_size=None)
     )
     assert stats.count() == 0
+
+
+def test_hoisted_norm_cosine_bit_identical(spark):
+    """Round 9: brute_force_topk / lsh_topk / ivf_topk /
+    embedding_near_dups hoist the per-side L2 norms to before their
+    joins (evaluated once per vector instead of once per pair).  The
+    hoist is pure common-subexpression motion — l2_norm is the exact
+    aggregate cosine_sim uses — so scores must be BIT-identical, not
+    merely close, including the edge cases the when() guard handles
+    (zero vector, mismatched lengths, negative components)."""
+    from driftmind_spark.functions.text import (
+        cosine_sim,
+        cosine_sim_prenorm,
+        l2_norm,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, -3.0], [0.5, -0.25, 4.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),      # zero-norm guard
+        (3, [1.0, 2.0], [1.0, 2.0, 3.0]),           # size mismatch guard
+        (4, [1e-8, 2e-8, 3e-8], [3e8, 2e8, 1e8]),   # extreme magnitudes
+        (5, [0.1] * 64, [0.30000000000000004] * 64),  # fold-order sensitive
+    ]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    inline = df.select("id", cosine_sim(F.col("a"), F.col("b")).alias("c"))
+    hoisted = (
+        df.withColumn("na", l2_norm(F.col("a")))
+        .withColumn("nb", l2_norm(F.col("b")))
+        .select(
+            "id",
+            cosine_sim_prenorm(
+                F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+            ).alias("c"),
+        )
+    )
+    got_i = {r["id"]: r["c"] for r in inline.collect()}
+    got_h = {r["id"]: r["c"] for r in hoisted.collect()}
+    assert got_i == got_h  # exact float equality, no tolerance
