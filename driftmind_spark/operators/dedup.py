@@ -680,15 +680,19 @@ def embedding_near_dups(
     in the DuckDB oracle."""
     budf = _near_dup_key_udf(dim, n_planes, n_tables, seed, n_probes)
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # vector norm hoisted to the pre-explode projection (see
-    # functions.text.l2_norm): evaluated once per vector instead of once
-    # per candidate pair in the verification cosine — bit-identical
+    # vector norm hoisted out of the verification cosine (see
+    # functions.text.l2_norm): evaluated once per VECTOR instead of once
+    # per candidate pair — bit-identical.  Two selects, not one: with
+    # the explode in the same projection as vec/vn, Catalyst collapses
+    # the vec/vn computation ABOVE the Generate (re-evaluating them per
+    # exploded bucket row, n_tables*n_probes per vector); keeping the
+    # explode over plain attributes pins them below it.
     base = embeddings.select(
         F.col("vec_id"),
         vec_d.alias("vec"),
         l2_norm(vec_d).alias("vn"),
-        F.explode(budf("embedding")).alias("bucket_key"),
-    )
+        budf("embedding").alias("bks"),
+    ).select("vec_id", "vec", "vn", F.explode("bks").alias("bucket_key"))
     if max_bucket_size is not None:
         hot = (
             base.groupBy("bucket_key")
