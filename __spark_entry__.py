@@ -651,8 +651,20 @@ def q_ann_bruteforce(spark, sf_dir):
 def q_embedding_near_dups(spark, sf_dir):
     """Hyperplane-LSH-blocked cosine near-dups (round 3: replaced the
     constant-8-bucket argmax blocking, which stayed O(n²/8) at crawl
-    scale, with sign-signature buckets + hot-bucket cap)."""
-    return dd.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    scale, with sign-signature buckets + hot-bucket cap).
+
+    _spread (round 9, third session): the pair verification inherits the
+    scan's partitioning through the broadcast-anti + broadcast self-join,
+    so over a single-row-group input the WHOLE per-pair cosine stage runs
+    in one task — measured at the 10x replicated scale as 85 s of
+    single-core work on a 32-core box (BENCH/scale10x_norm_hoist_r9.json
+    was taken pre-spread).  The row-group guard makes this a no-op at
+    cluster scale, and this query is correctness-checked, not
+    headline-timed, so the small fixed shuffle cost at sf0.1 buys
+    parallel verification in every larger single-file regime."""
+    return dd.embedding_near_dups(
+        _spread(spark, _t(spark, sf_dir, "embeddings")), threshold=0.3
+    )
 
 
 def q_embedding_near_dups_mp(spark, sf_dir):
@@ -660,7 +672,8 @@ def q_embedding_near_dups_mp(spark, sf_dir):
     least-confident sign bit flipped (argmin |dot|), catching near-dups
     split by the plane they sit closest to."""
     return dd.embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_probes=2
+        _spread(spark, _t(spark, sf_dir, "embeddings")),
+        threshold=0.3, n_probes=2,
     )
 
 
